@@ -1,0 +1,119 @@
+"""Round-trip tests for the self-contained TIFF/OME codec."""
+import numpy as np
+import pytest
+
+from nellie_tpu.io import ome as ome_mod
+from nellie_tpu.io import tiff
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32", "float32", "float64"])
+def test_imwrite_imread_roundtrip_2d(tmp_path, dtype, rng):
+    data = (rng.random((33, 47)) * 100).astype(dtype)
+    path = tmp_path / "im.ome.tif"
+    tiff.imwrite(path, data, metadata={"axes": "YX"})
+    back = tiff.imread(path)
+    assert back.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(back, data)
+
+
+def test_imwrite_imread_roundtrip_4d(tmp_path, rng):
+    data = (rng.random((3, 4, 16, 17)) * 1000).astype(np.uint16)
+    path = tmp_path / "im.ome.tif"
+    tiff.imwrite(path, data, metadata={"axes": "TZYX"})
+    with tiff.TiffFile(path) as tif:
+        assert tif.is_ome
+        series = tif.series[0]
+        assert series.axes == "TZYX"
+        assert tuple(series.shape) == data.shape
+    np.testing.assert_array_equal(tiff.imread(path), data)
+
+
+def test_memmap_read_write(tmp_path, rng):
+    data = rng.random((2, 8, 9)).astype(np.float32)
+    path = tmp_path / "im.ome.tif"
+    tiff.imwrite(path, data, metadata={"axes": "TYX"})
+    mm = tiff.memmap(path)
+    np.testing.assert_array_equal(np.asarray(mm), data)
+    mm[1, 0, 0] = 42.0
+    mm.flush()
+    del mm
+    assert tiff.imread(path)[1, 0, 0] == 42.0
+
+
+def test_allocate_empty_then_fill(tmp_path, rng):
+    path = tmp_path / "empty.ome.tif"
+    tiff.imwrite(path, shape=(5, 10, 11), dtype="float32", metadata={"axes": "TYX"})
+    mm = tiff.memmap(path)
+    assert mm.shape == (5, 10, 11)
+    np.testing.assert_array_equal(np.asarray(mm), 0.0)
+    frame = rng.random((10, 11)).astype(np.float32)
+    mm[3] = frame
+    mm.flush()
+    del mm
+    np.testing.assert_array_equal(tiff.imread(path)[3], frame)
+
+
+def test_tiffcomment_roundtrip_and_grow(tmp_path):
+    data = np.zeros((4, 5), dtype=np.uint8)
+    path = tmp_path / "im.ome.tif"
+    tiff.imwrite(path, data, metadata={"axes": "YX"})
+    original = tiff.tiffcomment(path)
+    assert "<OME" in original
+
+    # in-place rewrite (fits in the reserved area)
+    tiff.tiffcomment(path, "short comment")
+    assert tiff.tiffcomment(path) == "short comment"
+    np.testing.assert_array_equal(tiff.imread(path), data)
+
+    # grow beyond reserved capacity -> relocation to EOF
+    big = "x" * 200_000
+    tiff.tiffcomment(path, big)
+    assert tiff.tiffcomment(path) == big
+    np.testing.assert_array_equal(tiff.imread(path), data)
+
+
+def test_ome_xml_roundtrip():
+    xml = ome_mod.build_ome_xml(
+        "TZYX", (3, 4, 16, 17), "uint16",
+        dim_res={"X": 0.1, "Y": 0.1, "Z": 0.5, "T": 2.5},
+        description="hello world",
+    )
+    ome = ome_mod.from_xml(xml)
+    px = ome.images[0].pixels
+    assert px.size_t == 3 and px.size_z == 4 and px.size_y == 16 and px.size_x == 17
+    assert px.physical_size_x == pytest.approx(0.1)
+    assert px.physical_size_z == pytest.approx(0.5)
+    assert px.time_increment == pytest.approx(2.5)
+    assert px.type == "uint16"
+    assert ome.images[0].description == "hello world"
+
+    # mutate and re-serialise (the reference's tiffcomment rewrite path)
+    px.physical_size_x = 0.25
+    px.type = "float"
+    ome2 = ome_mod.from_xml(ome.to_xml())
+    assert ome2.images[0].pixels.physical_size_x == pytest.approx(0.25)
+    assert ome_mod.numpy_dtype_name(ome2.images[0].pixels.type) == "float32"
+
+
+def test_imagej_metadata_detection(tmp_path):
+    data = np.zeros((6, 4, 5), dtype=np.uint16)
+    desc = "ImageJ=1.53\nimages=6\nslices=6\nspacing=0.5\nunit=micron\nfinterval=2.0\n"
+    path = tmp_path / "ij.tif"
+    tiff.imwrite(path, data, description=desc)
+    with tiff.TiffFile(path) as tif:
+        assert tif.is_imagej
+        meta = tif.imagej_metadata
+        assert meta["slices"] == 6
+        assert meta["spacing"] == 0.5
+        assert meta["finterval"] == 2.0
+        assert tif.series[0].axes == "ZYX"
+
+
+def test_packbits_and_deflate_decode():
+    # synthetic strip decoding sanity
+    raw = bytes([0, 5, 255, 7])  # literal(1)=5, repeat(2)=7
+    assert tiff._packbits_decode(raw) == bytes([5, 7, 7])
+    import zlib
+
+    payload = bytes(range(100))
+    assert tiff._decompress(zlib.compress(payload), 8) == payload
