@@ -1,0 +1,217 @@
+"""Fused multi-scale Frangi vesselness — the pipeline's hottest kernel.
+
+Reimplements the reference's scale-cascaded vesselness
+(``/root/reference/nellie/segmentation/filtering.py:806-853``) as one
+jittable function per frame:
+
+  for each scale σ (static python floats):
+    gauss   <- incremental Gaussian (Δσ = sqrt(σ² − σ_prev²) cascade)
+    γ       <- min(triangle, otsu) over positive voxels of gauss
+    H, |H|F <- Hessian stencil + normalised Frobenius norm
+    mask    <- |H|F > min(triangle, otsu)(|H|F > 0) / division
+    λ       <- closed-form symmetric eigensolve (dense, VPU)
+    v       <- Frangi response, zeroed for bright-on-dark eigensigns
+    out     <- max(out, v * mask);  all_mask &= mask
+
+Where the reference gathers masked voxels into (N,3,3) stacks for LAPACK
+(``filtering.py:651-715``), we compute the closed form *densely* and
+select with the mask — no data-dependent shapes, everything fuses into a
+few HBM passes under XLA.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nellie_tpu.kernels import eigen, filters, thresholds
+from nellie_tpu.kernels.hessian import hessian_components
+
+EPS32 = float(np.finfo(np.float32).eps)
+
+
+@dataclass(frozen=True)
+class FrangiParams:
+    """Static (trace-time) configuration for the vesselness kernel."""
+
+    sigmas: Tuple[float, ...]
+    spacing: Tuple[float, ...]          # physical voxel size per axis
+    z_ratio: float = 1.0                # Z σ divisor for anisotropy (3D only)
+    alpha_sq: float = 0.5
+    beta_sq: float = 0.5
+    frob_thresh: Optional[float] = None
+    frob_thresh_division: float = 2.0
+    max_threshold_samples: int = int(1e6)
+    truncate: float = 3.0
+
+    def sigma_vec(self, sigma: float) -> Tuple[float, ...]:
+        """(Z,Y,X) or (Y,X) anisotropic σ vector (``filtering.py:277-286``)."""
+        if len(self.spacing) == 2:
+            return (float(sigma), float(sigma))
+        return (float(sigma) / self.z_ratio, float(sigma), float(sigma))
+
+
+def _subsampled_positive(volume: jnp.ndarray, max_samples: int):
+    """Deterministic strided downsample + positivity mask (the jit-safe
+    analogue of the reference's ``_subsample_for_thresholds``,
+    ``filtering.py:348-363``)."""
+    strides = thresholds.sample_strides(volume.shape, max_samples)
+    sample = thresholds.downsample(volume, strides)
+    return sample, sample > 0
+
+
+def _gamma(gauss: jnp.ndarray, max_samples: int) -> jnp.ndarray:
+    sample, pos = _subsampled_positive(gauss, max_samples)
+    g = thresholds.min_triangle_otsu(sample, pos)
+    g = jnp.where(jnp.any(pos), g, EPS32)
+    return jnp.maximum(g, EPS32)
+
+
+def _frob_mask(frob: jnp.ndarray, params: FrangiParams) -> jnp.ndarray:
+    if not params.frob_thresh_division:
+        return frob > 0
+    if params.frob_thresh is not None:
+        threshold = jnp.float32(params.frob_thresh)
+    else:
+        sample, pos = _subsampled_positive(frob, params.max_threshold_samples)
+        threshold = thresholds.min_triangle_otsu(sample, pos)
+        threshold = jnp.where(jnp.any(pos), threshold, 0.0)
+    return frob > (threshold / params.frob_thresh_division)
+
+
+def _frangi_response(eigs, gamma_sq, params: FrangiParams):
+    """Frangi vesselness from |λ|-sorted eigenvalues (``filtering.py:717-767``)."""
+    if len(eigs) == 2:
+        l1, l2 = eigs
+        rb_sq = (jnp.abs(l1) / (jnp.abs(l2) + 1e-12)) ** 2
+        s_sq = l1 * l1 + l2 * l2
+        v = jnp.exp(-(rb_sq / params.beta_sq)) * (1.0 - jnp.exp(-(s_sq / gamma_sq)))
+        v = jnp.where(l2 > 0, 0.0, v)
+    else:
+        l1, l2, l3 = eigs
+        # NB: the reference uses |λ2| in both ratio numerators
+        # (filtering.py:748-749), not the textbook |λ1| for rb.
+        ra_sq = (jnp.abs(l2) / (jnp.abs(l3) + 1e-12)) ** 2
+        rb_sq = (jnp.abs(l2) / (jnp.sqrt(jnp.abs(l2 * l3)) + 1e-12)) ** 2
+        s_sq = l1 * l1 + l2 * l2 + l3 * l3
+        v = (
+            (1.0 - jnp.exp(-(ra_sq / params.alpha_sq)))
+            * jnp.exp(-(rb_sq / params.beta_sq))
+            * (1.0 - jnp.exp(-(s_sq / gamma_sq)))
+        )
+        v = jnp.where((l3 > 0) | (l2 > 0), 0.0, v)
+    return jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+@partial(jax.jit, static_argnames=("params", "apply_mask"))
+def vesselness_frame(frame: jnp.ndarray, params: FrangiParams, apply_mask: bool = True):
+    """Multi-scale vesselness of one 2D/3D frame.
+
+    Returns (vesselness * accumulated_mask, accumulated_mask) — i.e. the
+    product the reference computes at ``filtering.py:925-926``.
+    """
+    frame = frame.astype(jnp.float32)
+    vessel = jnp.zeros_like(frame)
+    all_mask = jnp.ones(frame.shape, dtype=bool)
+
+    gauss = frame
+    prev_sigma = 0.0
+    for sigma in params.sigmas:
+        vec_prev = params.sigma_vec(prev_sigma)
+        vec_curr = params.sigma_vec(sigma)
+        delta = tuple(
+            float(np.sqrt(max(0.0, c * c - p * p))) for p, c in zip(vec_prev, vec_curr)
+        )
+        if any(d > 0 for d in delta):
+            gauss = filters.gaussian_filter(gauss, delta, truncate=params.truncate)
+        prev_sigma = sigma
+
+        gamma = _gamma(gauss, params.max_threshold_samples)
+        gamma_sq = 2.0 * gamma * gamma
+
+        h, frob = hessian_components(gauss, params.spacing)
+        h_mask = _frob_mask(frob, params) if apply_mask else jnp.ones(frame.shape, bool)
+
+        if frame.ndim == 2:
+            eigs = eigen.eigvalsh2(h["hxx"], h["hxy"], h["hyy"])
+        else:
+            eigs = eigen.eigvalsh3(h["hxx"], h["hxy"], h["hxz"], h["hyy"], h["hyz"], h["hzz"])
+
+        v = _frangi_response(eigs, gamma_sq, params)
+        v = jnp.where(h_mask, v, 0.0)
+        vessel = jnp.maximum(vessel, v)
+        all_mask = all_mask & h_mask
+
+    return vessel * all_mask, all_mask
+
+
+@partial(jax.jit, static_argnames=("params",))
+def log_blobness_2d(frame: jnp.ndarray, mask: jnp.ndarray, params: FrangiParams):
+    """2D multiscale LoG 'blobness', max-combined and normalised to [0, 0.1]
+    (``filtering.py:772-795``, applied only in the 2D path)."""
+    frame = frame.astype(jnp.float32)
+    lap = None
+    for sigma in params.sigmas:
+        vec = params.sigma_vec(sigma)
+        cur = -filters.gaussian_laplace(frame, vec) * (float(sigma) ** 2)
+        cur = cur * mask
+        lap = cur if lap is None else jnp.maximum(lap, cur)
+    lap = jnp.maximum(lap, 0.0)
+    lap_max = jnp.max(lap)
+    return lap / (lap_max + 1e-12) / 10.0
+
+
+def masked_percentile(values: jnp.ndarray, mask: jnp.ndarray, q: float) -> jnp.ndarray:
+    """Percentile (linear interpolation) of values[mask] with static shapes."""
+    flat = values.reshape(-1).astype(jnp.float32)
+    m = mask.reshape(-1)
+    n_valid = jnp.sum(m)
+    big = jnp.float32(jnp.inf)
+    s = jnp.sort(jnp.where(m, flat, big))
+    pos = (q / 100.0) * jnp.maximum(n_valid - 1, 0).astype(jnp.float32)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    val = s[lo] * (1.0 - frac) + s[hi] * frac
+    return jnp.where(n_valid > 0, val, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_samples",))
+def mask_volume(frangi_frame: jnp.ndarray, max_samples: int = int(1e6)) -> jnp.ndarray:
+    """Percentile-1 threshold + binary opening refinement
+    (``filtering.py:952-967``)."""
+    sample, pos = _subsampled_positive(frangi_frame, max_samples)
+    thr = masked_percentile(sample, pos, 1.0)
+    mask = frangi_frame > thr
+    mask = filters.binary_opening(mask)
+    out = frangi_frame * mask
+    return jnp.where(jnp.any(pos), out, frangi_frame)
+
+
+@jax.jit
+def remove_edges_frame(frangi_frame: jnp.ndarray) -> jnp.ndarray:
+    """Zero a 15-row margin at the top/bottom of each (Z-)slice's nonzero
+    bounding box (``filtering.py:969-1000``)."""
+    ndim = frangi_frame.ndim
+    x = frangi_frame
+    if ndim == 2:
+        x = x[None]
+    # x: (Z, Y, X); per-slice row occupancy
+    rows_any = jnp.any(x != 0, axis=2)  # (Z, Y)
+    ny = x.shape[1]
+    row_idx = jnp.arange(ny)[None, :]
+    has_any = jnp.any(rows_any, axis=1, keepdims=True)
+    rmin = jnp.min(jnp.where(rows_any, row_idx, ny), axis=1, keepdims=True)
+    rmax = jnp.max(jnp.where(rows_any, row_idx, -1), axis=1, keepdims=True)
+    height = jnp.maximum(rmax - rmin + 1, 0)
+    margin = jnp.minimum(15, height)
+    kill = (
+        ((row_idx >= rmin) & (row_idx < rmin + margin))
+        | ((row_idx > rmax - margin) & (row_idx <= rmax))
+    ) & has_any
+    out = jnp.where(kill[:, :, None], 0.0, x)
+    return out[0] if ndim == 2 else out

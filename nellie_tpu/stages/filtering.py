@@ -1,0 +1,227 @@
+"""Stage 1 — Filter: multi-scale Frangi vesselness preprocessing.
+
+TPU-native rebuild of the reference ``Filter``
+(``/root/reference/nellie/segmentation/filtering.py:17-1076``), same
+constructor surface and artifact contract (float32 ``im_preprocessed``),
+but the per-frame compute is one fused jitted kernel
+(:func:`nellie_tpu.kernels.frangi.vesselness_frame`) instead of a
+numpy/cupy scale loop with masked gather/eigh/scatter.
+
+Scaling story:
+* whole frame fits HBM -> single fused kernel call per timepoint
+* low-memory / OOM      -> halo-padded spatial chunking on host (halo =
+  ceil(truncate·σ_max), reference ``filtering.py:318-323``)
+* multi-chip            -> ``nellie_tpu.mesh`` shards Z/Y/X with
+  ppermute halo exchange (same math, same kernel body)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nellie_tpu.io.verifier import ImInfo
+from nellie_tpu.kernels import frangi as frangi_k
+from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils.base_logger import logger
+from nellie_tpu.utils.chunking import iter_chunks, compute_chunk_shape
+
+
+class Filter:
+    """Multi-scale Frangi-style vesselness filter for 2D/3D(+T) data."""
+
+    def __init__(
+        self,
+        im_info: ImInfo,
+        num_t=None,
+        remove_edges: bool = False,
+        min_radius_um: float = 0.25,
+        max_radius_um: float = 1.0,
+        alpha_sq: float = 0.5,
+        beta_sq: float = 0.5,
+        frob_thresh=None,
+        frob_thresh_division=2,
+        viewer=None,
+        device: str = "auto",
+        low_memory: bool = False,
+        max_chunk_voxels: int = int(1e6),
+        max_threshold_samples: int = int(1e6),
+    ):
+        self.im_info = im_info
+        self.device = device
+        self.truncate = 3.0
+        if not self.im_info.no_z:
+            z_res = self.im_info.dim_res.get("Z") or self.im_info.dim_res.get("X") or 1.0
+            x_res = self.im_info.dim_res.get("X") or 1.0
+            self.z_ratio = float(z_res) / float(x_res)
+        else:
+            self.z_ratio = 1.0
+        self.num_t = num_t
+        if num_t is None and not self.im_info.no_t:
+            self.num_t = im_info.shape[im_info.axes.index("T")]
+        self.remove_edges = remove_edges
+        self.min_radius_um = min_radius_um
+        self.max_radius_um = max_radius_um
+
+        self.min_radius_px = self.min_radius_um / self.im_info.dim_res["X"]
+        self.max_radius_px = self.max_radius_um / self.im_info.dim_res["X"]
+
+        self.im_memmap = None
+        self.frangi_memmap = None
+
+        self.sigmas = None
+        self.alpha_sq = float(alpha_sq)
+        self.beta_sq = float(beta_sq)
+        self.frob_thresh = frob_thresh
+        self.frob_thresh_division = frob_thresh_division
+        self.viewer = viewer
+
+        self.low_memory = low_memory
+        self.max_chunk_voxels = int(max_chunk_voxels)
+        self.max_threshold_samples = int(max_threshold_samples)
+        self.halo = None
+
+    # -- setup ---------------------------------------------------------------
+    def _get_t(self):
+        if self.num_t is None:
+            if self.im_info.no_t:
+                self.num_t = 1
+            else:
+                self.num_t = self.im_info.shape[self.im_info.axes.index("T")]
+
+    def _allocate_memory(self):
+        logger.debug("Allocating memory for frangi filter.")
+        self.im_memmap = self.im_info.get_memmap(self.im_info.im_path)
+        self.shape = self.im_memmap.shape
+        im_frangi_path = self.im_info.pipeline_paths["im_preprocessed"]
+        self.frangi_memmap = self.im_info.allocate_memory(
+            im_frangi_path, dtype="float", description="frangi filtered im",
+            return_memmap=True,
+        )
+
+    def _get_spacing(self, ndim):
+        if ndim == 2:
+            y = self.im_info.dim_res.get("Y") or 1.0
+            x = self.im_info.dim_res.get("X") or 1.0
+            return (float(y), float(x))
+        z = self.im_info.dim_res.get("Z") or self.im_info.dim_res.get("X") or 1.0
+        y = self.im_info.dim_res.get("Y") or 1.0
+        x = self.im_info.dim_res.get("X") or 1.0
+        return (float(z), float(y), float(x))
+
+    def _set_default_sigmas(self):
+        """Radius range -> σ ladder: σ ∈ [min_r/2, max_r/3], ≤5 scales,
+        step ≥ 0.2 (reference ``filtering.py:288-316``)."""
+        min_sigma_step_size = 0.2
+        num_sigma = 5
+
+        sigma_1 = self.min_radius_px / 2.0
+        sigma_2 = self.max_radius_px / 3.0
+        self.sigma_min = min(sigma_1, sigma_2)
+        self.sigma_max = max(sigma_1, sigma_2)
+        if self.sigma_max <= self.sigma_min:
+            self.sigma_max = self.sigma_min + min_sigma_step_size
+
+        step = max(min_sigma_step_size, (self.sigma_max - self.sigma_min) / float(num_sigma))
+        self.sigmas = sorted(np.arange(self.sigma_min, self.sigma_max, step, dtype=float).tolist())
+        ndim = 2 if self.im_info.no_z else 3
+        self._params = frangi_k.FrangiParams(
+            sigmas=tuple(self.sigmas),
+            spacing=self._get_spacing(ndim),
+            z_ratio=self.z_ratio,
+            alpha_sq=self.alpha_sq,
+            beta_sq=self.beta_sq,
+            frob_thresh=None if self.frob_thresh is None else float(self.frob_thresh),
+            frob_thresh_division=float(self.frob_thresh_division or 0.0),
+            max_threshold_samples=self.max_threshold_samples,
+            truncate=self.truncate,
+        )
+        self.halo = self._compute_halo()
+        logger.debug("Sigmas = %s", self.sigmas)
+
+    def _compute_halo(self):
+        if not self.sigmas:
+            return None
+        sigma_vec = self._params.sigma_vec(max(self.sigmas))
+        return tuple(int(np.ceil(self.truncate * float(s))) for s in sigma_vec)
+
+    # -- per-frame -----------------------------------------------------------
+    def _frame_device(self):
+        if adaptive_run.normalize_device(self._active_device) == "cpu":
+            return jax.devices("cpu")[0]
+        return jax.devices()[0]
+
+    def _run_frame(self, t, mask=True):
+        logger.info(f"Running Frangi filter on t={t}.")
+        frame_cpu = np.asarray(self.im_memmap[t, ...])
+        if self._active_low_memory:
+            return self._run_frame_chunked(frame_cpu, mask=mask)
+        dev = self._frame_device()
+        frame = jax.device_put(frame_cpu.astype(np.float32), dev)
+        vessel, masks = frangi_k.vesselness_frame(frame, self._params, apply_mask=mask)
+        if self.im_info.no_z:
+            blob = frangi_k.log_blobness_2d(frame, masks, self._params)
+            vessel = jnp.maximum(vessel, jnp.maximum(blob, 0.0))
+        if self.remove_edges:
+            vessel = frangi_k.remove_edges_frame(vessel)
+        return vessel
+
+    def _run_frame_chunked(self, frame_cpu, mask=True, max_chunk_voxels=None):
+        """Halo-padded spatial chunking for frames too large for HBM
+        (reference ``filtering.py:855-908``)."""
+        shape = frame_cpu.shape
+        chunk_voxels = int(max_chunk_voxels or self.max_chunk_voxels or int(np.prod(shape)))
+        halo = self.halo or (0,) * len(shape)
+        dev = self._frame_device()
+
+        while True:
+            try:
+                chunk_shape = compute_chunk_shape(shape, chunk_voxels)
+                vessel_out = np.zeros(shape, dtype=np.float32)
+                for core, ext, core_in_ext in iter_chunks(shape, chunk_shape, halo):
+                    chunk = jax.device_put(
+                        np.ascontiguousarray(frame_cpu[ext], dtype=np.float32), dev
+                    )
+                    v, m = frangi_k.vesselness_frame(chunk, self._params, apply_mask=mask)
+                    vessel_out[core] = np.asarray(v)[core_in_ext]
+                vessel = jnp.asarray(vessel_out)
+                if self.remove_edges:
+                    vessel = frangi_k.remove_edges_frame(vessel)
+                return vessel
+            except Exception as exc:
+                if not adaptive_run.is_oom_error(exc):
+                    raise
+                if chunk_voxels <= 1:
+                    raise
+                chunk_voxels = max(1, chunk_voxels // 2)
+
+    # -- top level -----------------------------------------------------------
+    def _run_filter(self, mask=True):
+        for t in range(self.num_t):
+            if self.viewer is not None:
+                self.viewer.status = f"Preprocessing. Frame: {t + 1} of {self.num_t}."
+            frangi_frame = self._run_frame(t, mask=mask)
+            total = float(jnp.sum(frangi_frame))
+            if total > 0.0:
+                frangi_frame = frangi_k.mask_volume(frangi_frame, self.max_threshold_samples)
+            filtered_im = np.asarray(frangi_frame, dtype=np.float32)
+
+            if self.im_info.no_t or self.num_t == 1:
+                self.frangi_memmap[:] = filtered_im[None] if self.frangi_memmap.ndim == filtered_im.ndim + 1 else filtered_im
+            else:
+                self.frangi_memmap[t, ...] = filtered_im
+            self.frangi_memmap.flush()
+
+    def run(self, mask=True):
+        logger.info("Running Frangi filter.")
+
+        def attempt(dev, low):
+            self._active_device = dev
+            self._active_low_memory = low
+            self._get_t()
+            self._allocate_memory()
+            self._set_default_sigmas()
+            self._run_filter(mask=mask)
+
+        adaptive_run.run_with_ladder("Filter", self.device, self.low_memory, self.im_info, attempt)

@@ -1,0 +1,180 @@
+"""Filter stage tests: fused-kernel parity vs a numpy/scipy model of the
+reference semantics, plus end-to-end artifact contract."""
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax.numpy as jnp
+
+from nellie_tpu.io import ome as ome_mod
+from nellie_tpu.io import tiff as tifffile
+from nellie_tpu.io.verifier import FileInfo, ImInfo
+from nellie_tpu.kernels import frangi as frangi_k
+
+
+def _tube_volume(shape=(16, 48, 48), seed=1):
+    """Synthetic volume with a bright curved tube on a dim noisy background."""
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0 : shape[0], 0 : shape[1], 0 : shape[2]]
+    cz = shape[0] / 2 + 2 * np.sin(x / 8.0)
+    cy = shape[1] / 2 + 6 * np.cos(x / 10.0)
+    dist_sq = (z - cz) ** 2 + (y - cy) ** 2
+    tube = 800.0 * np.exp(-dist_sq / (2 * 1.5**2))
+    background = rng.normal(100, 5, shape)
+    return np.clip(tube + background, 0, None).astype(np.float32)
+
+
+def _np_vesselness_model(frame, params):
+    """Direct numpy/scipy port of the reference's per-frame scale loop
+    (filtering.py:806-853) used as ground truth."""
+    from tests.test_kernels_filters import _np_otsu, _np_triangle
+
+    def np_gamma(gauss):
+        pos = gauss[gauss > 0]
+        if pos.size == 0:
+            return np.finfo(np.float32).eps
+        g = min(_np_triangle(pos), _np_otsu(pos))
+        return max(g, np.finfo(np.float32).eps)
+
+    spacing = params.spacing
+    vessel = np.zeros(frame.shape, np.float32)
+    all_mask = np.ones(frame.shape, bool)
+    gauss = frame.astype(np.float32)
+    prev = 0.0
+    for sigma in params.sigmas:
+        vp = params.sigma_vec(prev)
+        vc = params.sigma_vec(sigma)
+        delta = tuple(np.sqrt(max(0.0, c * c - p * p)) for p, c in zip(vp, vc))
+        if any(d > 0 for d in delta):
+            gauss = ndi.gaussian_filter(gauss, delta, mode="reflect", truncate=params.truncate)
+        prev = sigma
+        gamma = np_gamma(gauss)
+        gamma_sq = 2.0 * gamma * gamma
+
+        g0, g1, g2 = np.gradient(gauss, *spacing)
+        hxx = np.gradient(g0, spacing[0], axis=0)
+        hxy = np.gradient(g0, spacing[1], axis=1)
+        hxz = np.gradient(g0, spacing[2], axis=2)
+        hyy = np.gradient(g1, spacing[1], axis=1)
+        hyz = np.gradient(g1, spacing[2], axis=2)
+        hzz = np.gradient(g2, spacing[2], axis=2)
+        frob = np.sqrt(hxx**2 + hyy**2 + hzz**2 + 2 * (hxy**2 + hxz**2 + hyz**2))
+        max_abs = max(np.abs(c).max() for c in (hxx, hxy, hxz, hyy, hyz, hzz))
+        frob = frob / (max_abs if max_abs > 0 else 1.0)
+        pos = frob[frob > 0]
+        thr = min(_np_triangle(pos), _np_otsu(pos)) if pos.size else 0.0
+        h_mask = frob > thr / params.frob_thresh_division
+
+        H = np.stack(
+            [np.stack([hxx, hxy, hxz], -1), np.stack([hxy, hyy, hyz], -1),
+             np.stack([hxz, hyz, hzz], -1)], -2)
+        ev = np.linalg.eigvalsh(H.reshape(-1, 3, 3).astype(np.float64))
+        order = np.argsort(np.abs(ev), axis=1)
+        ev = np.take_along_axis(ev, order, axis=1)
+        l1, l2, l3 = ev[:, 0], ev[:, 1], ev[:, 2]
+        ra_sq = (np.abs(l2) / (np.abs(l3) + 1e-12)) ** 2
+        rb_sq = (np.abs(l2) / (np.sqrt(np.abs(l2 * l3)) + 1e-12)) ** 2
+        s_sq = l1**2 + l2**2 + l3**2
+        v = (1 - np.exp(-ra_sq / params.alpha_sq)) * np.exp(-rb_sq / params.beta_sq) * (
+            1 - np.exp(-s_sq / gamma_sq))
+        v[l3 > 0] = 0
+        v[l2 > 0] = 0
+        v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0).reshape(frame.shape)
+        v = np.where(h_mask, v, 0.0)
+        vessel = np.maximum(vessel, v)
+        all_mask &= h_mask
+    return vessel * all_mask, all_mask
+
+
+def test_vesselness_frame_matches_numpy_model():
+    frame = _tube_volume()
+    params = frangi_k.FrangiParams(
+        sigmas=(0.75, 0.95), spacing=(0.5, 0.2, 0.2), z_ratio=2.5,
+    )
+    ours, mask = frangi_k.vesselness_frame(jnp.asarray(frame), params)
+    ours = np.asarray(ours)
+    ref, ref_mask = _np_vesselness_model(frame, params)
+
+    # thresholds are bin-quantised and eigensolvers differ in precision:
+    # demand strong field agreement rather than bitwise equality
+    agree = np.isclose(ours, ref, rtol=1e-2, atol=1e-4)
+    assert agree.mean() > 0.98
+    if ref.max() > 0:
+        corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.99
+
+
+def test_vesselness_responds_on_tube():
+    frame = _tube_volume()
+    params = frangi_k.FrangiParams(sigmas=(0.75, 0.95), spacing=(0.5, 0.2, 0.2), z_ratio=2.5)
+    vessel, _ = frangi_k.vesselness_frame(jnp.asarray(frame), params)
+    vessel = np.asarray(vessel)
+    # strong response near the tube centerline, ~none in far background
+    center = vessel[8, :, :]
+    assert center.max() > 0.1
+    corner = vessel[:3, :6, :6]
+    assert corner.mean() < 0.01
+
+
+def _make_im_info(tmp_path, data, dim_res, axes):
+    desc = ome_mod.build_ome_xml(axes, data.shape, data.dtype.name, dim_res=dim_res)
+    path = tmp_path / "input.ome.tif"
+    tifffile.imwrite(path, data, description=desc)
+    fi = FileInfo(str(path))
+    fi.find_metadata()
+    fi.load_metadata()
+    return ImInfo(fi)
+
+
+def test_filter_stage_end_to_end_3d_t(tmp_path):
+    frames = np.stack([_tube_volume(seed=i) for i in range(2)])
+    im_info = _make_im_info(
+        tmp_path, frames.astype(np.uint16),
+        {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 1.0}, "TZYX",
+    )
+    from nellie_tpu.stages.filtering import Filter
+
+    Filter(im_info, max_radius_um=0.5).run()
+    out = im_info.get_memmap(im_info.pipeline_paths["im_preprocessed"])
+    assert out.shape == frames.shape
+    assert out.dtype == np.float32
+    assert np.asarray(out[0]).max() > 0
+    assert np.asarray(out[1]).max() > 0
+
+
+def test_filter_stage_2d(tmp_path):
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:64, 0:64]
+    line = 600 * np.exp(-((y - 32 + 5 * np.sin(x / 9)) ** 2) / (2 * 1.2**2))
+    data = np.clip(line + rng.normal(80, 5, (64, 64)), 0, None).astype(np.uint16)
+    im_info = _make_im_info(tmp_path, data, {"X": 0.1, "Y": 0.1, "Z": None, "T": None}, "YX")
+    from nellie_tpu.stages.filtering import Filter
+
+    Filter(im_info, max_radius_um=0.3).run()
+    out = im_info.get_memmap(im_info.pipeline_paths["im_preprocessed"])
+    assert out.shape == (1, 64, 64)
+    assert np.asarray(out).max() > 0
+
+
+def test_filter_chunked_matches_full(tmp_path):
+    """Mode-parity: low-memory halo-chunked path == full-frame path
+    (the reference's key chunking invariant, test_mocap_marking.py style)."""
+    frames = _tube_volume()[None]
+    im_info = _make_im_info(
+        tmp_path, frames.astype(np.uint16),
+        {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": None}, "TZYX",
+    )
+    from nellie_tpu.stages.filtering import Filter
+
+    f_full = Filter(im_info, max_radius_um=0.5)
+    f_full.run()
+    full = np.array(im_info.get_memmap(im_info.pipeline_paths["im_preprocessed"]))
+
+    f_low = Filter(im_info, max_radius_um=0.5, low_memory=True, max_chunk_voxels=16 * 24 * 24)
+    f_low.run()
+    low = np.array(im_info.get_memmap(im_info.pipeline_paths["im_preprocessed"]))
+
+    # thresholds see different (chunk-local) statistics, so exact equality
+    # isn't expected — but fields must agree closely on this well-separated input
+    agree = np.isclose(full, low, rtol=5e-2, atol=5e-3)
+    assert agree.mean() > 0.95
