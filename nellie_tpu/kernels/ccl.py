@@ -1,0 +1,180 @@
+"""Connected-component labelling and hole filling as XLA fixpoints.
+
+The reference uses ``scipy.ndimage.label`` / ``cupyx`` with a full 3³
+structuring element (``labelling.py:489,507``) and host union-find for
+cross-chunk merges (``labelling.py:221-287``).  On TPU we run a
+FastSV-style parallel union-find over the *whole* volume:
+
+  P[i] <- min linear index reachable so far (parent pointer)
+  repeat until fixpoint:
+    m[i]    = min over {i} ∪ fg-neighbours of P          (stencil, VPU)
+    P[P[i]] = min(P[P[i]], m[i])                          (scatter-min hook)
+    P[i]    = min(P[i], m[i])
+    P       = P∘P ... ∘P  (⌈log₂ n⌉ pointer-doubling gathers)
+
+which converges in O(log n) rounds with only dense stencils, gathers and
+scatter-mins — no data-dependent shapes.  Because the root of each
+component is its minimum linear (raster-order) index, ranking roots by
+cumsum reproduces scipy's label numbering *exactly*.
+
+``fill_holes`` runs the same machinery on the background with
+face-connectivity and keeps only components that touch the volume
+border (scipy ``binary_fill_holes`` semantics).
+"""
+from __future__ import annotations
+
+import itertools
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nellie_tpu.kernels.filters import shift_fill
+
+
+def neighbor_offsets(ndim: int, connectivity: str = "full"):
+    """Neighbour offsets: 'full' = 8/26-connectivity, 'faces' = 4/6."""
+    if connectivity == "full":
+        offs = [
+            o for o in itertools.product((-1, 0, 1), repeat=ndim) if any(v != 0 for v in o)
+        ]
+    elif connectivity == "faces":
+        offs = []
+        for axis in range(ndim):
+            for d in (-1, 1):
+                o = [0] * ndim
+                o[axis] = d
+                offs.append(tuple(o))
+    else:
+        raise ValueError(connectivity)
+    return tuple(offs)
+
+
+def _shift_nd(x: jnp.ndarray, offsets, fill) -> jnp.ndarray:
+    out = x
+    for axis, o in enumerate(offsets):
+        if o != 0:
+            out = shift_fill(out, axis, o, fill)
+    return out
+
+
+def _neighbor_min(pv: jnp.ndarray, maskv: jnp.ndarray, offsets, sentinel) -> jnp.ndarray:
+    m = jnp.where(maskv, pv, sentinel)
+    for off in offsets:
+        cand = _shift_nd(jnp.where(maskv, pv, sentinel), off, sentinel)
+        m = jnp.minimum(m, cand)
+    return jnp.where(maskv, m, sentinel)
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarray:
+    """Per-voxel root (min linear index of its component), n for background.
+
+    Returns a flat int32 array of length n (= mask.size).
+    """
+    shape = mask.shape
+    n = int(np.prod(shape))
+    offsets = neighbor_offsets(mask.ndim, connectivity)
+    k_compress = max(1, int(math.ceil(math.log2(max(n, 2)))))
+
+    fg = mask.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    p0 = jnp.where(fg, idx, jnp.int32(n))
+    # length n+1 with a trash slot at index n
+    p0 = jnp.concatenate([p0, jnp.array([n], jnp.int32)])
+
+    def cond(state):
+        p, changed = state
+        return changed
+
+    def body(state):
+        p, _ = state
+        pv = p[:n].reshape(shape)
+        maskv = mask
+        m = _neighbor_min(pv, maskv, offsets, jnp.int32(n)).reshape(-1)
+        m_pad = jnp.concatenate([m, jnp.array([n], jnp.int32)])
+        tgt = jnp.where(jnp.concatenate([fg, jnp.array([False])]), p, jnp.int32(n))
+        p_new = p.at[tgt].min(m_pad)
+        p_new = jnp.minimum(p_new, m_pad)
+
+        def compress(_, q):
+            return q[q]
+
+        p_new = lax.fori_loop(0, k_compress, compress, p_new)
+        p_new = p_new.at[n].set(jnp.int32(n))
+        changed = jnp.any(p_new != p)
+        return p_new, changed
+
+    p, _ = lax.while_loop(cond, body, (p0, jnp.bool_(True)))
+    return p[:n]
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def label(mask: jnp.ndarray, connectivity: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Connected components with scipy-identical sequential numbering.
+
+    Returns (labels int32 volume, num_components scalar).  Matches
+    ``scipy.ndimage.label(mask, structure=ones((3,)*ndim))`` for
+    connectivity='full' and the default cross structure for 'faces'.
+    """
+    n = int(np.prod(mask.shape))
+    roots = union_find_roots(mask, connectivity)
+    fg = mask.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_root = fg & (roots == idx)
+    # label id of a root = its 1-based rank in raster order
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    labels = jnp.where(fg, rank[roots], 0)
+    return labels.reshape(mask.shape), rank[-1]
+
+
+@jax.jit
+def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
+    """Fill background regions not connected to the volume border
+    (scipy.ndimage.binary_fill_holes with the default cross structure)."""
+    bg = ~mask
+    n = int(np.prod(mask.shape))
+    roots = union_find_roots(bg, "faces")
+
+    border = jnp.zeros(mask.shape, dtype=bool)
+    for axis in range(mask.ndim):
+        sl_lo = [slice(None)] * mask.ndim
+        sl_lo[axis] = slice(0, 1)
+        sl_hi = [slice(None)] * mask.ndim
+        sl_hi[axis] = slice(-1, None)
+        border = border.at[tuple(sl_lo)].set(True)
+        border = border.at[tuple(sl_hi)].set(True)
+
+    bg_flat = bg.reshape(-1)
+    border_bg = (border.reshape(-1)) & bg_flat
+    # scatter-or: does each root touch the border?
+    reach = jnp.zeros((n + 1,), dtype=bool)
+    tgt = jnp.where(border_bg, roots, n)
+    reach = reach.at[tgt].max(border_bg)
+    outside = bg_flat & reach[roots]
+    return (~outside).reshape(mask.shape)
+
+
+@jax.jit
+def component_sizes(labels_or_roots_flat: jnp.ndarray, fg_flat: jnp.ndarray) -> jnp.ndarray:
+    """Voxel count per root index (scatter-add), length n+1."""
+    n = labels_or_roots_flat.shape[0]
+    tgt = jnp.where(fg_flat, labels_or_roots_flat, n)
+    return jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)
+
+
+@partial(jax.jit, static_argnames=("min_size", "connectivity"))
+def remove_small_components(
+    mask: jnp.ndarray, min_size: int, connectivity: str = "full"
+) -> jnp.ndarray:
+    """Drop components with fewer than ``min_size`` voxels
+    (the reference's bincount area filter, ``labelling.py:495-501``)."""
+    roots = union_find_roots(mask, connectivity)
+    fg = mask.reshape(-1)
+    sizes = component_sizes(roots, fg)
+    keep = fg & (sizes[roots] >= min_size)
+    return keep.reshape(mask.shape)

@@ -1,0 +1,76 @@
+"""Connected components / hole filling parity vs scipy."""
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax.numpy as jnp
+
+from nellie_tpu.kernels import ccl
+
+
+@pytest.mark.parametrize("p", [0.2, 0.5, 0.7])
+def test_label_2d_matches_scipy(rng, p):
+    mask = rng.random((40, 41)) < p
+    ours, n_ours = ccl.label(jnp.asarray(mask))
+    ref, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+    assert int(n_ours) == n_ref
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+@pytest.mark.parametrize("p", [0.1, 0.3, 0.6])
+def test_label_3d_matches_scipy(rng, p):
+    mask = rng.random((12, 18, 19)) < p
+    ours, n_ours = ccl.label(jnp.asarray(mask))
+    ref, n_ref = ndi.label(mask, structure=np.ones((3, 3, 3)))
+    assert int(n_ours) == n_ref
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_label_faces_connectivity_matches_scipy(rng):
+    mask = rng.random((20, 21)) < 0.5
+    ours, n_ours = ccl.label(jnp.asarray(mask), connectivity="faces")
+    ref, n_ref = ndi.label(mask)  # default cross structure
+    assert int(n_ours) == n_ref
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_label_snake(rng):
+    # worst case for naive propagation: one long winding path
+    mask = np.zeros((30, 30), bool)
+    for r in range(30):
+        mask[r, :] = True
+        if r % 2 == 0:
+            mask[r, -1] = r == 29 or True
+    mask[::2, -1] = True
+    ours, n_ours = ccl.label(jnp.asarray(mask))
+    ref, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+    assert int(n_ours) == n_ref
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_fill_holes_matches_scipy(rng):
+    mask = np.zeros((24, 25), bool)
+    mask[4:20, 4:20] = True
+    mask[8:12, 8:12] = False  # a hole
+    mask[0:2, 0:2] = True     # touching border, no hole
+    ours = np.asarray(ccl.fill_holes(jnp.asarray(mask)))
+    ref = ndi.binary_fill_holes(mask)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_fill_holes_3d(rng):
+    mask = np.zeros((10, 12, 12), bool)
+    mask[2:9, 2:10, 2:10] = True
+    mask[4:6, 4:7, 4:7] = False  # internal cavity
+    ours = np.asarray(ccl.fill_holes(jnp.asarray(mask)))
+    ref = ndi.binary_fill_holes(mask)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_remove_small_components(rng):
+    mask = np.zeros((20, 20), bool)
+    mask[1:3, 1:3] = True    # size 4
+    mask[10:18, 10:18] = True  # size 64
+    out = np.asarray(ccl.remove_small_components(jnp.asarray(mask), 10))
+    assert not out[1:3, 1:3].any()
+    assert out[10:18, 10:18].all()
