@@ -1,0 +1,145 @@
+"""Euclidean distance transforms via jump flooding (JFA).
+
+The reference uses ``scipy.ndimage.distance_transform_edt`` twice:
+* Markers: EDT of the object mask in pixel units, clamped
+  (``mocap_marking.py:419-448``)
+* Network: per-object nearest-*seed* indices with anisotropic sampling to
+  propagate branch labels to whole objects (``networking.py:485-577``)
+
+Jump flooding computes, for every voxel, (an approximation of) the
+nearest seed in O(log n) dense passes — each pass shifts the current
+best-seed buffers by ±step along every axis combination and keeps the
+closer candidate under the anisotropic metric.  We run the classic
+JFA+1 variant (an extra step-1 pass) which makes errors vanishingly
+rare; exactness is not required by either consumer (peak detection /
+label propagation with arbitrary tie-breaks).
+
+The per-object constraint (a voxel may only adopt seeds belonging to its
+own instance label) is enforced by carrying the seed's object id and
+rejecting candidates with a different id — this reproduces the
+reference's per-object-crop EDT semantics in one dense pass over the
+whole frame instead of a Python loop over objects.
+"""
+from __future__ import annotations
+
+import itertools
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nellie_tpu.kernels.filters import shift_fill
+
+
+def _offsets(ndim: int):
+    return [o for o in itertools.product((-1, 0, 1), repeat=ndim) if any(v != 0 for v in o)]
+
+
+def _roll_state(state: jnp.ndarray, off, step) -> jnp.ndarray:
+    """Roll the (C, *vol) state so position v reads from v + off*step.
+
+    ``step`` may be traced (jnp.roll handles dynamic shifts); wrapped
+    values are invalidated by the caller via a source-bounds mask.
+    """
+    shifts = [-o * step for o in off if True]
+    axes = list(range(1, state.ndim))
+    return jnp.roll(state, shift=tuple(shifts), axis=tuple(axes))
+
+
+def _coords(shape) -> jnp.ndarray:
+    return jnp.stack(
+        [lax.broadcasted_iota(jnp.int32, shape, d) for d in range(len(shape))]
+    )
+
+
+def _dist_sq(coords, seed_coords, sampling):
+    d = jnp.zeros(coords.shape[1:], jnp.float32)
+    for axis in range(coords.shape[0]):
+        diff = (coords[axis] - seed_coords[axis]).astype(jnp.float32) * float(sampling[axis])
+        d = d + diff * diff
+    return d
+
+
+@partial(jax.jit, static_argnames=("sampling",))
+def nearest_seed(
+    seed_labels: jnp.ndarray,
+    obj_labels: Optional[jnp.ndarray] = None,
+    sampling: Tuple[float, ...] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-voxel nearest seed via JFA+1.
+
+    seed_labels : int volume, >0 at seed voxels (the value is propagated).
+    obj_labels  : optional int volume; a voxel only accepts seeds whose
+                  object id (obj_labels at the seed) matches its own.
+    sampling    : physical voxel size per axis (anisotropic metric).
+
+    Returns (labels, distances): the nearest seed's value (0 where no
+    reachable seed) and the physical distance to it (+inf where none).
+    """
+    shape = seed_labels.shape
+    ndim = seed_labels.ndim
+    if sampling is None:
+        sampling = (1.0,) * ndim
+    offsets = _offsets(ndim)
+    max_dim = max(shape)
+    n_steps = max(1, int(math.ceil(math.log2(max_dim))))
+    steps = [1 << (n_steps - 1 - i) for i in range(n_steps)] + [1]
+
+    coords = _coords(shape)
+    is_seed = seed_labels > 0
+    # state channels: [coord_0..coord_{ndim-1}, seed_label, seed_obj]
+    seed_obj = obj_labels if obj_labels is not None else jnp.zeros(shape, jnp.int32)
+    state = jnp.concatenate(
+        [
+            jnp.where(is_seed[None], coords, -1),
+            jnp.where(is_seed, seed_labels, 0).astype(jnp.int32)[None],
+            jnp.where(is_seed, seed_obj, -1).astype(jnp.int32)[None],
+        ]
+    )
+    my_obj = (obj_labels if obj_labels is not None else jnp.zeros(shape, jnp.int32)).astype(jnp.int32)
+
+    def best_dist(st):
+        valid = st[ndim] > 0
+        d = _dist_sq(coords, st[:ndim], sampling)
+        return jnp.where(valid, d, jnp.inf)
+
+    steps_arr = jnp.asarray(steps, jnp.int32)
+
+    def one_step(i, state):
+        step = steps_arr[i]
+        cur_d = best_dist(state)
+        for off in offsets:
+            cand = _roll_state(state, off, step)
+            # source voxel v + off*step must be in-bounds (reject wraps)
+            src_ok = jnp.ones(shape, bool)
+            for axis, o in enumerate(off):
+                if o != 0:
+                    src = coords[axis] + o * step
+                    src_ok = src_ok & (src >= 0) & (src < shape[axis])
+            cand_valid = src_ok & (cand[ndim] > 0)
+            if obj_labels is not None:
+                cand_valid = cand_valid & (cand[ndim + 1] == my_obj)
+            cand_d = jnp.where(cand_valid, _dist_sq(coords, cand[:ndim], sampling), jnp.inf)
+            take = cand_d < cur_d
+            state = jnp.where(take[None], cand, state)
+            cur_d = jnp.where(take, cand_d, cur_d)
+        return state
+
+    state = lax.fori_loop(0, len(steps), one_step, state)
+
+    labels = jnp.where(state[ndim] > 0, state[ndim], 0)
+    dist = jnp.sqrt(best_dist(state))
+    return labels, dist
+
+
+@partial(jax.jit, static_argnames=("sampling",))
+def distance_transform(mask: jnp.ndarray, sampling: Tuple[float, ...] = None) -> jnp.ndarray:
+    """Distance from each True voxel to the nearest False voxel
+    (scipy.ndimage.distance_transform_edt semantics), via JFA+1."""
+    seeds = jnp.where(~mask, 1, 0).astype(jnp.int32)
+    _, dist = nearest_seed(seeds, None, sampling)
+    return jnp.where(mask, dist, 0.0)

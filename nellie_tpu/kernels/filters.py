@@ -129,24 +129,30 @@ def _window_dims(x: jnp.ndarray, size) -> Tuple[int, ...]:
     return tuple(int(s) for s in size)
 
 
-def maximum_filter(x: jnp.ndarray, size=3) -> jnp.ndarray:
-    """ND maximum filter, reflect boundary (scipy default)."""
+def maximum_filter(x: jnp.ndarray, size=3, mode: str = "reflect", cval=0) -> jnp.ndarray:
+    """ND maximum filter. mode 'reflect' (scipy default) or 'constant'."""
     dims = _window_dims(x, size)
     pads = [(d // 2, d // 2) for d in dims]
-    xp = jnp.pad(x, pads, mode="symmetric")
+    if mode == "constant":
+        xp = jnp.pad(x, pads, mode="constant", constant_values=cval)
+    else:
+        xp = jnp.pad(x, pads, mode="symmetric")
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
-        xp, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        lax.max, dims, (1,) * x.ndim, "valid",
+        xp, jnp.asarray(init, x.dtype), lax.max, dims, (1,) * x.ndim, "valid",
     )
 
 
-def minimum_filter(x: jnp.ndarray, size=3) -> jnp.ndarray:
+def minimum_filter(x: jnp.ndarray, size=3, mode: str = "reflect", cval=0) -> jnp.ndarray:
     dims = _window_dims(x, size)
     pads = [(d // 2, d // 2) for d in dims]
-    xp = jnp.pad(x, pads, mode="symmetric")
+    if mode == "constant":
+        xp = jnp.pad(x, pads, mode="constant", constant_values=cval)
+    else:
+        xp = jnp.pad(x, pads, mode="symmetric")
+    init = jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).max
     return lax.reduce_window(
-        xp, jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).max,
-        lax.min, dims, (1,) * x.ndim, "valid",
+        xp, jnp.asarray(init, x.dtype), lax.min, dims, (1,) * x.ndim, "valid",
     )
 
 

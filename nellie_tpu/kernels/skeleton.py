@@ -1,0 +1,141 @@
+"""Topology-preserving thinning (skeletonisation) as an XLA fixpoint.
+
+Replaces ``skimage.morphology.skeletonize`` (used by the reference at
+``networking.py:394-409``).  The reference's Lee-94 thinning deletes
+simple points sequentially; here deletion runs as a parallel fixpoint:
+
+* 3D: per iteration, sweep the 6 border directions; per direction,
+  candidates = border ∧ deletable (one 8 MiB LUT gather per voxel, see
+  ``nellie_tpu.kernels.simple_point``), then commit candidates over the
+  8 parity subfields with a "no 26-neighbour deleted earlier this pass"
+  guard — which makes the parallel pass equivalent to *some* sequential
+  order of simple-point deletions, hence topology-preserving.
+* 2D: Zhang–Suen two-subiteration thinning (designed parallel-safe).
+
+Both are pure jitted functions: while_loop over dense masks, no
+data-dependent shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from nellie_tpu.kernels.filters import maximum_filter, shift_fill
+from nellie_tpu.kernels.simple_point import OFFSETS_26, get_simple26_lut
+
+
+def _shift3(x, off, fill):
+    out = x
+    for axis, o in enumerate(off):
+        if o != 0:
+            out = shift_fill(out, axis, o, fill)
+    return out
+
+
+def _pack26(fg: jnp.ndarray) -> jnp.ndarray:
+    """Pack the 26 neighbour occupancies into an int32 code per voxel.
+
+    Neighbour k occupied means voxel at position v + OFFSETS_26[k] is fg,
+    which is fg shifted by +offset (shift semantics: take from v+off).
+    """
+    code = jnp.zeros(fg.shape, jnp.int32)
+    for k, off in enumerate(OFFSETS_26):
+        nb = _shift3(fg, off, False)
+        code = code | (nb.astype(jnp.int32) << k)
+    return code
+
+
+def _deletable(fg: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    code = _pack26(fg)
+    byte = lut[code >> 3]
+    return ((byte >> (code & 7).astype(jnp.uint8)) & 1).astype(bool) & fg
+
+
+_DIRECTIONS = ((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1))
+
+
+@jax.jit
+def skeletonize_3d(mask: jnp.ndarray) -> jnp.ndarray:
+    """3D curve thinning; preserves 26-connectivity of fg and 6-topology."""
+    lut = jnp.asarray(get_simple26_lut())
+    iz = lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    iy = lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+    ix = lax.broadcasted_iota(jnp.int32, mask.shape, 2)
+    parity = (iz % 2) * 4 + (iy % 2) * 2 + (ix % 2)
+
+    def one_direction(fg, d):
+        # 8-subfield scheme: same-parity voxels are pairwise non-26-adjacent,
+        # so deleting all simple border points of one subfield simultaneously
+        # is equivalent to some sequential order; deletability is recomputed
+        # on the current image for each subfield (fori_loop keeps the HLO small).
+        def subfield(sf, fg):
+            neighbor_d = _shift3(fg, _DIRECTIONS[d], False)
+            border = fg & ~neighbor_d
+            cand = border & _deletable(fg, lut) & (parity == sf)
+            return fg & ~cand
+
+        return lax.fori_loop(0, 8, subfield, fg)
+
+    def body(state):
+        fg, _ = state
+        new = fg
+        for d in range(6):
+            new = one_direction(new, d)
+        return new, jnp.any(new != fg)
+
+    def cond(state):
+        return state[1]
+
+    fg, _ = lax.while_loop(cond, body, (mask.astype(bool), jnp.bool_(True)))
+    return fg
+
+
+# --------------------------------------------------------------------------
+# 2D: Zhang–Suen
+# --------------------------------------------------------------------------
+
+# P2..P9 clockwise from north, offsets (dy, dx)
+_P_OFFS = ((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+
+
+def _zs_neighbors(fg):
+    return [(_shift3(fg, off, False)).astype(jnp.int32) for off in _P_OFFS]
+
+
+def _zs_pass(fg, first: bool):
+    p = _zs_neighbors(fg)
+    b = sum(p)
+    seq = p + [p[0]]
+    a = sum(((seq[i] == 0) & (seq[i + 1] == 1)).astype(jnp.int32) for i in range(8))
+    p2, p4, p6, p8 = p[0], p[2], p[4], p[6]
+    if first:
+        c1 = (p2 * p4 * p6) == 0
+        c2 = (p4 * p6 * p8) == 0
+    else:
+        c1 = (p2 * p4 * p8) == 0
+        c2 = (p2 * p6 * p8) == 0
+    delete = fg & (b >= 2) & (b <= 6) & (a == 1) & c1 & c2
+    return fg & ~delete
+
+
+@jax.jit
+def skeletonize_2d(mask: jnp.ndarray) -> jnp.ndarray:
+    def body(state):
+        fg, _ = state
+        new = _zs_pass(fg, True)
+        new = _zs_pass(new, False)
+        return new, jnp.any(new != fg)
+
+    fg, _ = lax.while_loop(lambda s: s[1], body, (mask.astype(bool), jnp.bool_(True)))
+    return fg
+
+
+def skeletonize(mask: jnp.ndarray) -> jnp.ndarray:
+    """Dimension dispatch (2D Zhang–Suen / 3D LUT thinning)."""
+    if mask.ndim == 2:
+        return skeletonize_2d(mask)
+    if mask.ndim == 3:
+        return skeletonize_3d(mask)
+    raise ValueError(f"skeletonize supports 2D/3D, got {mask.ndim}D")

@@ -1,0 +1,241 @@
+"""Stage 3 — Network: skeletonisation, pixel classes, branch labels.
+
+TPU-native rebuild of the reference ``Network``
+(``/root/reference/nellie/segmentation/networking.py:19-977``).  The
+reference is CPU-bound here (skimage 3D thinning — its worst TPU gap,
+SURVEY.md §3); this build runs the whole frame on device:
+
+  skeletonise     -> parallel LUT thinning (kernels.skeleton)
+  clean           -> min/max 3³ filters drop skeleton voxels touching
+                     two labels (networking.py:234-296)
+  fill missing    -> segment-argmax of the Frangi image per label that
+                     lost its skeleton (networking.py:315-389)
+  pixel classes   -> 3³ occupancy sum clipped at 4 (0 bg / 1 isolated /
+                     2 tip / 3 edge / 4 junction, networking.py:634-680)
+  branch labels   -> CC of non-junction skeleton (kernels.ccl)
+  full relabel    -> object-constrained nearest-seed JFA instead of the
+                     per-object-crop EDT loop (networking.py:485-577)
+
+Artifacts: ``im_skel`` (int32 skeleton voxels carrying instance label),
+``im_pixel_class`` (uint8), ``im_skel_relabelled`` (uint32 branch labels
+propagated to whole objects).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nellie_tpu.io.verifier import ImInfo
+from nellie_tpu.kernels import ccl, edt
+from nellie_tpu.kernels.filters import maximum_filter, minimum_filter, sum_filter
+from nellie_tpu.kernels.skeleton import skeletonize_2d, skeletonize_3d
+from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils.base_logger import logger
+
+
+# --------------------------------------------------------------------------
+# Jitted frame kernels
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _clean_skeleton_kernel(skel_labels):
+    """Zero skeleton voxels whose 3³ neighbourhood spans >1 instance label,
+    preserving volume-boundary voxels (``networking.py:261-296``)."""
+    mask = skel_labels > 0
+    max_labels = maximum_filter(skel_labels, 3, mode="constant", cval=0)
+    bg_val = jnp.max(skel_labels) + 1
+    no_bg = jnp.where(skel_labels == 0, bg_val, skel_labels)
+    # pad with int32 max so border padding never wins the min
+    min_labels = minimum_filter(no_bg, 3, mode="constant", cval=jnp.iinfo(jnp.int32).max)
+    min_labels = jnp.where(min_labels == bg_val, 0, min_labels)
+
+    ambiguous = mask & (min_labels > 0) & (max_labels > 0) & (min_labels != max_labels)
+
+    boundary = jnp.zeros(skel_labels.shape, bool)
+    for axis in range(skel_labels.ndim):
+        lo = [slice(None)] * skel_labels.ndim
+        lo[axis] = slice(0, 1)
+        hi = [slice(None)] * skel_labels.ndim
+        hi[axis] = slice(-1, None)
+        boundary = boundary.at[tuple(lo)].set(True)
+        boundary = boundary.at[tuple(hi)].set(True)
+    ambiguous = ambiguous & ~boundary
+    return jnp.where(ambiguous, 0, skel_labels)
+
+
+@jax.jit
+def _add_missing_skeleton_kernel(skel_labels, instance_labels, frangi):
+    """For every instance label with no skeleton voxel, set one at the
+    raster-first argmax of the Frangi image within that label
+    (``networking.py:315-389``; segment-argmax instead of maximum_position)."""
+    n = int(np.prod(instance_labels.shape))
+    lbl_flat = instance_labels.reshape(-1).astype(jnp.int32)
+    skel_flat = skel_labels.reshape(-1).astype(jnp.int32)
+    frangi_flat = frangi.reshape(-1).astype(jnp.float32)
+    fg = lbl_flat > 0
+
+    # which labels already have a skeleton voxel
+    has_skel = jnp.zeros((n + 1,), bool).at[
+        jnp.where(skel_flat > 0, skel_flat, n)
+    ].max(skel_flat > 0)
+
+    # per-label max frangi
+    tgt = jnp.where(fg, lbl_flat, n)
+    seg_max = jnp.full((n + 1,), -jnp.inf, jnp.float32).at[tgt].max(
+        jnp.where(fg, frangi_flat, -jnp.inf))
+    is_best = fg & (frangi_flat == seg_max[lbl_flat]) & ~has_skel[lbl_flat]
+    # break ties at the first raster index per label
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_first = jnp.full((n + 1,), n, jnp.int32).at[
+        jnp.where(is_best, lbl_flat, n)
+    ].min(jnp.where(is_best, idx, n))
+    chosen = is_best & (idx == seg_first[lbl_flat])
+    out = jnp.where(chosen, lbl_flat, skel_flat)
+    return out.reshape(skel_labels.shape)
+
+
+@jax.jit
+def _pixel_class_kernel(skel):
+    """3³ occupancy count on the skeleton mask, clipped at 4
+    (``networking.py:669-680``)."""
+    m = (skel > 0).astype(jnp.uint8)
+    s = sum_filter(m, 3) * m
+    return jnp.minimum(s, 4).astype(jnp.uint8)
+
+
+@jax.jit
+def _branch_skel_labels_kernel(pixel_class):
+    non_junction = (pixel_class > 0) & (pixel_class != 4)
+    labels, _ = ccl.label(non_junction)
+    return labels.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("sampling",))
+def _relabel_objects_kernel(branch_skel_labels, instance_labels, sampling):
+    """Propagate branch labels to all voxels of each object via
+    object-constrained nearest-seed JFA (``networking.py:485-577``)."""
+    seeds = jnp.where(instance_labels > 0, branch_skel_labels, 0).astype(jnp.int32)
+    labels, _ = edt.nearest_seed(seeds, instance_labels.astype(jnp.int32), sampling)
+    return jnp.where(instance_labels > 0, labels, 0).astype(jnp.uint32)
+
+
+# --------------------------------------------------------------------------
+# Stage driver
+# --------------------------------------------------------------------------
+
+class Network:
+    """Skeleton / pixel-class / branch-label extraction."""
+
+    def __init__(
+        self,
+        im_info: ImInfo,
+        num_t=None,
+        min_radius_um=0.20,
+        max_radius_um=1,
+        viewer=None,
+        device="auto",
+        low_memory: bool = False,
+        max_chunk_voxels: int = int(1e6),
+    ):
+        self.im_info = im_info
+        self.device = device
+        self.low_memory = low_memory
+        self.max_chunk_voxels = int(max_chunk_voxels)
+        self.num_t = num_t
+        if num_t is None and not self.im_info.no_t:
+            self.num_t = im_info.shape[im_info.axes.index("T")]
+
+        if not self.im_info.no_z:
+            self.z_ratio = self.im_info.dim_res["Z"] / self.im_info.dim_res["X"]
+
+        self.min_radius_um = max(min_radius_um, self.im_info.dim_res["X"])
+        self.max_radius_um = max_radius_um
+        self.min_radius_px = self.min_radius_um / self.im_info.dim_res["X"]
+        self.max_radius_px = self.max_radius_um / self.im_info.dim_res["X"]
+
+        if self.im_info.no_z:
+            self.scaling = (im_info.dim_res["Y"], im_info.dim_res["X"])
+        else:
+            self.scaling = (im_info.dim_res["Z"], im_info.dim_res["Y"], im_info.dim_res["X"])
+
+        self.shape = ()
+        self.im_memmap = None
+        self.im_frangi_memmap = None
+        self.label_memmap = None
+        self.pixel_class_memmap = None
+        self.skel_memmap = None
+        self.skel_relabelled_memmap = None
+        self.viewer = viewer
+
+    def _get_t(self):
+        if self.num_t is None:
+            self.num_t = 1 if self.im_info.no_t else self.im_info.shape[self.im_info.axes.index("T")]
+
+    def _allocate_memory(self):
+        logger.debug("Allocating memory for skeletonization.")
+        self.label_memmap = self.im_info.get_memmap(self.im_info.pipeline_paths["im_instance_label"])
+        self.im_memmap = self.im_info.get_memmap(self.im_info.im_path)
+        self.im_frangi_memmap = self.im_info.get_memmap(self.im_info.pipeline_paths["im_preprocessed"])
+        self.shape = self.label_memmap.shape
+
+        self.skel_memmap = self.im_info.allocate_memory(
+            self.im_info.pipeline_paths["im_skel"],
+            dtype="int32", description="skeleton image", return_memmap=True)
+        self.pixel_class_memmap = self.im_info.allocate_memory(
+            self.im_info.pipeline_paths["im_pixel_class"],
+            dtype="uint8", description="pixel class image", return_memmap=True)
+        self.skel_relabelled_memmap = self.im_info.allocate_memory(
+            self.im_info.pipeline_paths["im_skel_relabelled"],
+            dtype="uint32", description="skeleton relabelled image", return_memmap=True)
+
+    def _run_frame(self, t):
+        logger.info(f"Running network analysis, volume {t}/{self.num_t - 1}")
+        label_frame = jnp.asarray(np.ascontiguousarray(self.label_memmap[t]), dtype=jnp.int32)
+        frangi_frame = jnp.asarray(np.ascontiguousarray(self.im_frangi_memmap[t]), dtype=jnp.float32)
+
+        mask = label_frame > 0
+        skel_mask = skeletonize_2d(mask) if self.im_info.no_z else skeletonize_3d(mask)
+        skel = jnp.where(skel_mask, label_frame, 0)
+        skel = _clean_skeleton_kernel(skel)
+        skel = _add_missing_skeleton_kernel(skel, label_frame, frangi_frame)
+        skel = jnp.where(skel > 0, label_frame, 0)
+
+        pixel_class = _pixel_class_kernel(skel)
+        branch_skel_labels = _branch_skel_labels_kernel(pixel_class)
+        branch_labels = _relabel_objects_kernel(branch_skel_labels, label_frame, self.scaling)
+
+        return (
+            np.asarray(jnp.where(skel > 0, branch_skel_labels, 0), dtype=np.int32),
+            np.asarray(pixel_class),
+            np.asarray(branch_labels, dtype=np.uint32),
+        )
+
+    def _run_networking(self):
+        for t in range(self.num_t):
+            if self.viewer is not None:
+                self.viewer.status = f"Extracting branches. Frame: {t + 1} of {self.num_t}."
+            skel, pixel_class, skel_relabelled = self._run_frame(t)
+            if self.im_info.no_t or self.num_t == 1:
+                self.skel_memmap[:] = skel[None] if self.skel_memmap.ndim == skel.ndim + 1 else skel
+                self.pixel_class_memmap[:] = pixel_class[None] if self.pixel_class_memmap.ndim == pixel_class.ndim + 1 else pixel_class
+                self.skel_relabelled_memmap[:] = skel_relabelled[None] if self.skel_relabelled_memmap.ndim == skel_relabelled.ndim + 1 else skel_relabelled
+            else:
+                self.skel_memmap[t] = skel
+                self.pixel_class_memmap[t] = pixel_class
+                self.skel_relabelled_memmap[t] = skel_relabelled
+            self.skel_memmap.flush()
+            self.pixel_class_memmap.flush()
+            self.skel_relabelled_memmap.flush()
+
+    def run(self):
+        def attempt(dev, low):
+            self.low_memory = low
+            self._get_t()
+            self._allocate_memory()
+            self._run_networking()
+
+        adaptive_run.run_with_ladder("Network", self.device, self.low_memory, self.im_info, attempt)
