@@ -1,0 +1,376 @@
+"""Stage 6 — VoxelReassigner: propagate t=0 identities through time.
+
+TPU-native rebuild of the reference ``VoxelReassigner``
+(``/root/reference/nellie/tracking/voxel_reassignment.py``):
+
+* forward matching: interpolate flow at t voxels → predicted t+1
+  centroids → nearest real t+1 voxel → keep error < max_distance
+  (``voxel_reassignment.py:473-546``); backward symmetric; candidates are
+  the union of both passes
+* nearest-neighbour search runs as tiled brute-force argmin on device
+  (the reference's own GPU path, ``voxel_reassignment.py:326-393``) —
+  no KD-trees
+* label assignment: per-(target, source-label) inverse-distance weighted
+  voting with deterministic lexsort tie-breaks, iterated up to
+  ``max_refine_iterations`` over still-unassigned targets
+  (``voxel_reassignment.py:429-514,907-993``); the vote bookkeeping is
+  host-side numpy (small candidate lists), the distance work is on TPU
+* outputs: ``im_branch_label_reassigned`` / ``im_obj_label_reassigned``
+  (int32) and ``voxel_matches.npy`` (object array of [prev, next] pairs)
+
+No-op for single-timepoint data.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nellie_tpu.io.verifier import ImInfo
+from nellie_tpu.stages.flow_interpolation import FlowInterpolator
+from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils.base_logger import logger
+
+
+@jax.jit
+def _nn_tile_kernel(query, refs, refs_valid):
+    """(Q, d) queries vs (M, d) refs -> (min_dist, argmin) per query."""
+    diff = query[:, None, :] - refs[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=2)
+    d2 = jnp.where(refs_valid[None, :], d2, jnp.inf)
+    idx = jnp.argmin(d2, axis=1)
+    return jnp.sqrt(jnp.min(d2, axis=1)), idx
+
+
+def _bucket(n, minimum=128):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class VoxelReassigner:
+    """Dense voxel matching along the flow field + weighted label voting."""
+
+    def __init__(self, im_info: ImInfo, num_t=None, viewer=None,
+                 store_running_matches: bool = True,
+                 max_refine_iterations: int = 3,
+                 max_query_points: int = int(1e6),
+                 max_bruteforce_pairs: int = int(4e7),
+                 device: str = "auto",
+                 low_memory: bool = False):
+        self.im_info = im_info
+        self.device = device
+        self.low_memory = bool(low_memory)
+        self.store_running_matches = store_running_matches
+        self.max_refine_iterations = int(max_refine_iterations)
+        self.max_query_points = max(1, int(max_query_points))
+        self.max_bruteforce_pairs = max(1, int(max_bruteforce_pairs))
+        self.viewer = viewer
+
+        if self.im_info.no_t:
+            self.num_t = 1
+            self.flow_interpolator_fw = None
+            self.flow_interpolator_bw = None
+            self.running_matches = []
+            return
+
+        self.num_t = num_t
+        if num_t is None:
+            self.num_t = im_info.shape[im_info.axes.index("T")]
+
+        self.flow_interpolator_fw = FlowInterpolator(im_info, forward=True)
+        self.flow_interpolator_bw = FlowInterpolator(im_info, forward=False)
+        self.running_matches = []
+
+        self.voxel_matches_path = None
+        self.branch_label_memmap = None
+        self.obj_label_memmap = None
+        self.reassigned_branch_memmap = None
+        self.reassigned_obj_memmap = None
+        self.shape = None
+        self.spatial_shape = None
+
+    # -- NN matching on device -------------------------------------------------
+    def _scale_coords(self, coords):
+        return np.asarray(coords, np.float32) * np.asarray(
+            self.flow_interpolator_fw.scaling, np.float32)
+
+    def _nn_match(self, coords_real_scaled, coords_query_scaled):
+        """Nearest real voxel for each query centroid (tiled brute force)."""
+        m = coords_real_scaled.shape[0]
+        q = coords_query_scaled.shape[0]
+        d = coords_real_scaled.shape[1]
+        if m == 0 or q == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+
+        # choose tiles so q_tile * m_tile stays under max_bruteforce_pairs
+        m_tile = min(m, 1 << 16)
+        q_tile = max(256, min(self.max_query_points, self.max_bruteforce_pairs // m_tile))
+
+        dist_out = np.full((q,), np.inf, np.float32)
+        idx_out = np.zeros((q,), np.int64)
+        for ms in range(0, m, m_tile):
+            me = min(ms + m_tile, m)
+            mb = _bucket(me - ms)
+            refs = np.zeros((mb, d), np.float32)
+            refs[: me - ms] = coords_real_scaled[ms:me]
+            rvalid = np.zeros((mb,), bool)
+            rvalid[: me - ms] = True
+            refs_j = jnp.asarray(refs)
+            rvalid_j = jnp.asarray(rvalid)
+            for qs in range(0, q, q_tile):
+                qe = min(qs + q_tile, q)
+                qb = _bucket(qe - qs)
+                qq = np.zeros((qb, d), np.float32)
+                qq[: qe - qs] = coords_query_scaled[qs:qe]
+                dist, idx = _nn_tile_kernel(jnp.asarray(qq), refs_j, rvalid_j)
+                dist = np.asarray(dist)[: qe - qs]
+                idx = np.asarray(idx)[: qe - qs] + ms
+                better = dist < dist_out[qs:qe]
+                dist_out[qs:qe] = np.where(better, dist, dist_out[qs:qe])
+                idx_out[qs:qe] = np.where(better, idx, idx_out[qs:qe])
+        return dist_out, idx_out
+
+    def _match_voxels_to_centroids(self, coords_real, coords_interpx):
+        real_scaled = self._scale_coords(coords_real)
+        query_scaled = self._scale_coords(coords_interpx)
+        _, idx = self._nn_match(real_scaled, query_scaled)
+        return idx
+
+    def _compute_error_distance(self, predicted, matched):
+        if predicted.size == 0:
+            return np.empty((0,), np.float32)
+        scaling = np.asarray(self.flow_interpolator_fw.scaling, np.float32)
+        diffs = (predicted - matched).astype(np.float32) * scaling
+        return np.linalg.norm(diffs, axis=1).astype(np.float32)
+
+    # -- forward / backward candidate generation --------------------------------
+    def _match_forward(self, flow_interpolator, vox_prev, vox_next, t):
+        dim = vox_prev.shape[1] if vox_prev.ndim == 2 else 3
+        empty = (np.empty((0, dim), np.int64), np.empty((0, dim), np.int64),
+                 np.empty((0,), np.float64))
+        if vox_prev.size == 0 or vox_next.size == 0:
+            return empty
+        vectors = flow_interpolator.interpolate_coord(vox_prev, t)
+        if vectors is None:
+            return empty
+        kept = ~np.isnan(vectors).any(axis=1)
+        if not kept.any():
+            return empty
+        vectors = vectors[kept]
+        vox_prev_kept = vox_prev[kept]
+        centroids_next = vox_prev_kept + vectors
+        matched_idx = self._match_voxels_to_centroids(vox_next, centroids_next)
+        matched = vox_next[matched_idx]
+        distances = self._compute_error_distance(centroids_next, matched)
+        mask = distances < self.flow_interpolator_fw.max_distance_um
+        if not mask.any():
+            return empty
+        return (vox_prev_kept[mask].astype(np.int64), matched[mask].astype(np.int64),
+                distances[mask].astype(np.float64))
+
+    def _match_backward(self, flow_interpolator, vox_next, vox_prev, t):
+        dim = vox_prev.shape[1] if vox_prev.ndim == 2 else 3
+        empty = (np.empty((0, dim), np.int64), np.empty((0, dim), np.int64),
+                 np.empty((0,), np.float64))
+        if vox_prev.size == 0 or vox_next.size == 0:
+            return empty
+        vectors = flow_interpolator.interpolate_coord(vox_next, t)
+        if vectors is None:
+            return empty
+        kept = ~np.isnan(vectors).any(axis=1)
+        if not kept.any():
+            return empty
+        vectors = vectors[kept]
+        vox_next_kept = vox_next[kept]
+        centroids_prev = vox_next_kept - vectors
+        matched_idx = self._match_voxels_to_centroids(vox_prev, centroids_prev)
+        matched = vox_prev[matched_idx]
+        distances = self._compute_error_distance(centroids_prev, matched)
+        mask = distances < self.flow_interpolator_fw.max_distance_um
+        if not mask.any():
+            return empty
+        return (matched[mask].astype(np.int64), vox_next_kept[mask].astype(np.int64),
+                distances[mask].astype(np.float64))
+
+    def match_voxels(self, vox_prev, vox_next, t):
+        """Union of forward/backward interpolated candidates
+        (``voxel_reassignment.py:758-857``)."""
+        dim = vox_prev.shape[1] if vox_prev.ndim == 2 else 3
+        p_fw, n_fw, d_fw = self._match_forward(self.flow_interpolator_fw, vox_prev, vox_next, t)
+        p_bw, n_bw, d_bw = self._match_backward(self.flow_interpolator_bw, vox_next, vox_prev, t + 1)
+        parts = [(p, n, d) for p, n, d in ((p_fw, n_fw, d_fw), (p_bw, n_bw, d_bw)) if len(p)]
+        if not parts:
+            return (np.empty((0, dim), np.int64), np.empty((0, dim), np.int64),
+                    np.empty((0,), np.float64))
+        prev = np.concatenate([p for p, _, _ in parts], axis=0)
+        nxt = np.concatenate([n for _, n, _ in parts], axis=0)
+        dist = np.concatenate([d for _, _, d in parts], axis=0)
+        return prev.astype(np.int64), nxt.astype(np.int64), dist.astype(np.float64)
+
+    # -- voting ------------------------------------------------------------------
+    def _select_best_pairs(self, vox_prev, vox_next, distances):
+        """Per-target best source by distance (``voxel_reassignment.py:412-427``)."""
+        if vox_prev.size == 0:
+            dim = vox_prev.shape[1] if vox_prev.ndim == 2 else 3
+            return np.empty((0, dim), np.int64), np.empty((0, dim), np.int64)
+        target_flat = np.ravel_multi_index(vox_next.T, self.spatial_shape)
+        order = np.lexsort((distances, target_flat))
+        target_sorted = target_flat[order]
+        change = np.ones(len(order), bool)
+        change[1:] = target_sorted[1:] != target_sorted[:-1]
+        best = order[change]
+        return vox_prev[best], vox_next[best]
+
+    def _vote_targets(self, target_coords, source_labels, distances):
+        """Weighted voting: best source-label per target voxel
+        (``voxel_reassignment.py:429-471``)."""
+        if target_coords.size == 0:
+            return (np.empty((0,), np.int64), np.empty((0,), source_labels.dtype),
+                    np.empty((0,), np.int64))
+        target_flat = np.ravel_multi_index(target_coords.T, self.spatial_shape)
+        weights = 1.0 / (distances + 1e-6)
+        cand_idx = np.arange(len(weights), dtype=np.int64)
+
+        order = np.lexsort((-weights, source_labels, target_flat))
+        ts, ls, ws, cs = (target_flat[order], source_labels[order],
+                          weights[order], cand_idx[order])
+        pair_change = np.ones(len(order), bool)
+        pair_change[1:] = (ts[1:] != ts[:-1]) | (ls[1:] != ls[:-1])
+        pair_starts = np.nonzero(pair_change)[0]
+        pair_targets = ts[pair_change]
+        pair_labels = ls[pair_change]
+        pair_best = cs[pair_change]
+        weight_sums = np.add.reduceat(ws, pair_starts)
+
+        order2 = np.lexsort((-weight_sums, pair_targets))
+        pts, pls, pbs = pair_targets[order2], pair_labels[order2], pair_best[order2]
+        tchange = np.ones(len(order2), bool)
+        tchange[1:] = pts[1:] != pts[:-1]
+        return pts[tchange], pls[tchange], pbs[tchange]
+
+    def _vote_assign_labels_for_frame(self, candidate_prev, candidate_next, candidate_dist,
+                                      label_memmap, reassigned_memmap, t):
+        if candidate_prev.size == 0:
+            return
+        prev_labels = reassigned_memmap[t][tuple(candidate_prev.T)]
+        valid = prev_labels > 0
+        if not valid.any():
+            return
+        candidate_prev = candidate_prev[valid]
+        candidate_next = candidate_next[valid]
+        candidate_dist = candidate_dist[valid]
+        prev_labels = prev_labels[valid]
+
+        target_has_label = label_memmap[t + 1][tuple(candidate_next.T)] > 0
+        if not target_has_label.any():
+            return
+        candidate_prev = candidate_prev[target_has_label]
+        candidate_next = candidate_next[target_has_label]
+        candidate_dist = candidate_dist[target_has_label]
+        prev_labels = prev_labels[target_has_label]
+
+        for _ in range(max(1, self.max_refine_iterations)):
+            unassigned = reassigned_memmap[t + 1][tuple(candidate_next.T)] == 0
+            if not unassigned.any():
+                break
+            cp = candidate_prev[unassigned]
+            cn = candidate_next[unassigned]
+            cd = candidate_dist[unassigned]
+            li = prev_labels[unassigned]
+            if cp.size == 0:
+                break
+            _, best_labels, best_idx = self._vote_targets(cn, li, cd)
+            if len(best_idx) == 0:
+                break
+            best_next = cn[best_idx]
+            reassigned_memmap[t + 1][tuple(best_next.T)] = best_labels
+
+    # -- memory / driver -----------------------------------------------------------
+    def _get_t(self):
+        if self.num_t is None:
+            self.num_t = 1 if self.im_info.no_t else self.im_info.shape[self.im_info.axes.index("T")]
+
+    def _allocate_memory(self):
+        logger.debug("Allocating memory for voxel reassignment.")
+        self.voxel_matches_path = self.im_info.pipeline_paths["voxel_matches"]
+        self.branch_label_memmap = self.im_info.get_memmap(
+            self.im_info.pipeline_paths["im_skel_relabelled"])
+        self.obj_label_memmap = self.im_info.get_memmap(
+            self.im_info.pipeline_paths["im_instance_label"])
+        self.shape = self.branch_label_memmap.shape
+        self.spatial_shape = self.shape[1:]
+
+        self.reassigned_branch_memmap = self.im_info.allocate_memory(
+            self.im_info.pipeline_paths["im_branch_label_reassigned"],
+            dtype="int32", description="branch label reassigned", return_memmap=True)
+        self.reassigned_obj_memmap = self.im_info.allocate_memory(
+            self.im_info.pipeline_paths["im_obj_label_reassigned"],
+            dtype="int32", description="object label reassigned", return_memmap=True)
+
+    def _get_master_mask(self, t):
+        mask_b = np.asarray(self.branch_label_memmap[t]) > 0
+        mask_o = np.asarray(self.obj_label_memmap[t]) > 0
+        return mask_b | mask_o
+
+    def _run_reassignment(self):
+        self._get_t()
+        self._allocate_memory()
+
+        self.reassigned_branch_memmap[0][:] = np.asarray(self.branch_label_memmap[0])
+        self.reassigned_obj_memmap[0][:] = np.asarray(self.obj_label_memmap[0])
+
+        self.running_matches = []
+        match_dtype = np.uint16 if max(self.spatial_shape) < 2**16 else np.uint32
+
+        for t in range(self.num_t - 1):
+            if self.viewer is not None:
+                self.viewer.status = f"Reassigning voxels. Frame: {t + 1} of {self.num_t}."
+            logger.info(f"Reassigning pixels between frames {t} and {t + 1}")
+
+            vox_prev = np.argwhere(self._get_master_mask(t))
+            vox_next = np.argwhere(self._get_master_mask(t + 1))
+            if len(vox_prev) == 0 or len(vox_next) == 0:
+                logger.info(f"No voxels to match between frames {t} and {t + 1}; stopping.")
+                break
+
+            candidate_prev, candidate_next, candidate_dist = self.match_voxels(
+                vox_prev, vox_next, t)
+            if len(candidate_prev) == 0:
+                logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
+                break
+
+            if self.store_running_matches:
+                best_prev, best_next = self._select_best_pairs(
+                    candidate_prev, candidate_next, candidate_dist)
+                self.running_matches.append([
+                    best_prev.astype(match_dtype), best_next.astype(match_dtype)])
+
+            self._vote_assign_labels_for_frame(
+                candidate_prev, candidate_next, candidate_dist,
+                self.branch_label_memmap, self.reassigned_branch_memmap, t)
+            self._vote_assign_labels_for_frame(
+                candidate_prev, candidate_next, candidate_dist,
+                self.obj_label_memmap, self.reassigned_obj_memmap, t)
+            self.reassigned_branch_memmap.flush()
+            self.reassigned_obj_memmap.flush()
+
+        if self.store_running_matches and self.voxel_matches_path is not None:
+            np.save(self.voxel_matches_path,
+                    np.array(self.running_matches, dtype=object))
+
+    def run(self):
+        if self.im_info.no_t:
+            logger.info("Skipping voxel reassignment for non-temporal dataset.")
+            return
+
+        def attempt(dev, low):
+            self.low_memory = low
+            self._run_reassignment()
+
+        adaptive_run.run_with_ladder(
+            "VoxelReassigner", self.device, self.low_memory, self.im_info, attempt)

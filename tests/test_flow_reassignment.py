@@ -1,0 +1,113 @@
+"""FlowInterpolator + VoxelReassigner tests."""
+import numpy as np
+import pytest
+
+from nellie_tpu.io import ome as ome_mod
+from nellie_tpu.io import tiff as tifffile
+from nellie_tpu.io.verifier import FileInfo, ImInfo
+
+
+def _setup_moving_blobs(tmp_path, n_t=3, shift=2):
+    """Two blobs moving +shift in y per frame, with full artifacts."""
+    shape = (n_t, 8, 32, 32)
+    raw = np.zeros(shape, np.float32)
+    labels = np.zeros(shape, np.int32)
+    branch = np.zeros(shape, np.int32)
+    marker = np.zeros(shape, np.uint8)
+    z, y, x = np.mgrid[0:8, 0:32, 0:32]
+    centers = [(8, 10), (20, 22)]
+    for t in range(n_t):
+        for i, (cy, cx) in enumerate(centers):
+            cyt = cy + shift * t
+            blob = (((z - 4) ** 2) / 2 + (y - cyt) ** 2 + (x - cx) ** 2) <= 6
+            raw[t][blob] = 500
+            labels[t][blob] = i + 1
+            branch[t][blob] = i + 1  # one branch per object for simplicity
+            marker[t, 4, cyt, cx] = 1
+    # T res scales the interpolation radius (max_distance_um * dt); use 4s
+    # so the 0.5 um/s default covers the whole blob around each marker
+    desc = ome_mod.build_ome_xml("TZYX", shape, "uint16",
+                                 dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 4.0})
+    path = tmp_path / "input.ome.tif"
+    tifffile.imwrite(path, raw.astype(np.uint16), description=desc)
+    fi = FileInfo(str(path))
+    fi.find_metadata()
+    fi.load_metadata()
+    im_info = ImInfo(fi)
+    im_info.allocate_memory(im_info.pipeline_paths["im_preprocessed"], dtype="float",
+                            data=(raw / 500).astype(np.float32), description="frangi")
+    im_info.allocate_memory(im_info.pipeline_paths["im_instance_label"], dtype="int32",
+                            data=labels, description="labels")
+    im_info.allocate_memory(im_info.pipeline_paths["im_skel_relabelled"], dtype="uint32",
+                            data=branch.astype(np.uint32), description="branches")
+    im_info.allocate_memory(im_info.pipeline_paths["im_marker"], dtype="uint8",
+                            data=marker, description="markers")
+    im_info.allocate_memory(im_info.pipeline_paths["im_distance"], dtype="float32",
+                            data=(labels > 0).astype(np.float32) * 2, description="distance")
+
+    # exact flow vectors: one per marker per transition
+    rows = []
+    for t in range(n_t - 1):
+        for cy, cx in centers:
+            rows.append([t, 4, cy + shift * t, cx, 0, shift, 0, 0.1])
+    flow = np.asarray(rows, np.float64)
+    np.save(im_info.pipeline_paths["flow_vector_array"], flow)
+    return im_info, labels, centers
+
+
+def test_flow_interpolator_forward(tmp_path):
+    im_info, labels, centers = _setup_moving_blobs(tmp_path)
+    from nellie_tpu.stages.flow_interpolation import FlowInterpolator
+
+    fi = FlowInterpolator(im_info, forward=True, max_distance_um=0.5)
+    coords = np.asarray([[4.0, 8.0, 10.0], [4.0, 20.0, 22.0], [7.0, 0.0, 0.0]])
+    vecs = fi.interpolate_coord(coords, 0)
+    np.testing.assert_allclose(vecs[0], [0, 2, 0], atol=1e-4)
+    np.testing.assert_allclose(vecs[1], [0, 2, 0], atol=1e-4)
+    assert np.isnan(vecs[2]).all()  # far from any flow vector
+
+
+def test_flow_interpolator_backward(tmp_path):
+    im_info, labels, centers = _setup_moving_blobs(tmp_path)
+    from nellie_tpu.stages.flow_interpolation import FlowInterpolator
+
+    fi = FlowInterpolator(im_info, forward=False, max_distance_um=0.5)
+    # at t=1, backward flow origin = origin + vector = positions at t=1
+    coords = np.asarray([[4.0, 10.0, 10.0]])
+    vecs = fi.interpolate_coord(coords, 1)
+    np.testing.assert_allclose(vecs[0], [0, 2, 0], atol=1e-4)
+
+
+def test_interpolate_all_forward_tracks(tmp_path):
+    im_info, labels, centers = _setup_moving_blobs(tmp_path)
+    from nellie_tpu.stages.flow_interpolation import interpolate_all_forward
+
+    coords = np.asarray([[4.0, 8.0, 10.0]])
+    tracks, props = interpolate_all_forward(coords, 0, 2, im_info, max_distance_um=0.5)
+    tracks = np.asarray(tracks)
+    assert tracks.shape[0] == 3  # t=0,1,2 positions
+    np.testing.assert_allclose(tracks[:, 3], [8, 10, 12], atol=0.1)  # y moves +2
+
+
+def test_voxel_reassigner_propagates_labels(tmp_path):
+    im_info, labels, centers = _setup_moving_blobs(tmp_path)
+    from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+    VoxelReassigner(im_info).run()
+    reassigned = np.asarray(im_info.get_memmap(im_info.pipeline_paths["im_obj_label_reassigned"]))
+    assert reassigned.dtype == np.int32
+    # t=0 copied
+    np.testing.assert_array_equal(reassigned[0], labels[0])
+    # blob identity follows the motion: at t=2, blob around y=12 is label 1
+    for t in range(3):
+        blob1 = labels[t] == 1
+        blob2 = labels[t] == 2
+        vals1 = reassigned[t][blob1]
+        vals2 = reassigned[t][blob2]
+        assert (vals1 == 1).mean() > 0.9, f"t={t}"
+        assert (vals2 == 2).mean() > 0.9, f"t={t}"
+    # voxel_matches.npy saved
+    matches = np.load(im_info.pipeline_paths["voxel_matches"], allow_pickle=True)
+    assert len(matches) == 2  # two transitions
+    prev, nxt = matches[0]
+    assert prev.shape == nxt.shape and prev.shape[1] == 3
