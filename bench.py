@@ -1,0 +1,166 @@
+"""Benchmark harness: Frangi + eigendecomposition + segmentation throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "voxels/sec/chip", "vs_baseline": N}
+
+The measured kernel is the pipeline's hot path (multi-scale Frangi with
+closed-form eigendecomposition, global log-domain thresholding and
+connected-component instance segmentation — the Filter+Label compute of
+SURVEY.md §3) on one 3D frame, steady-state (post-compile) on the
+available accelerator.
+
+``vs_baseline`` compares against the reference pipeline's CPU
+implementation semantics: a numpy/scipy port of the identical per-frame
+algorithm (scipy gaussian_filter cascade, np.gradient Hessian, LAPACK
+eigvalsh on masked voxels, scipy ndimage label), timed on this host —
+the reference itself cannot run here (its deps aren't installed), so its
+exact CPU algorithm is re-timed in its native numpy/scipy form.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _make_frame(shape=(64, 256, 256), seed=0):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0 : shape[0], 0 : shape[1], 0 : shape[2]]
+    vol = np.zeros(shape, np.float32)
+    for i in range(6):
+        cy = 30 + 32 * i
+        vol += 800.0 * np.exp(
+            -(((z - 32 - 8 * np.sin((x + 20 * i) / 30.0)) ** 2) * 0.3
+              + (y - cy + 10 * np.sin(x / 17.0)) ** 2 / 2) / (2 * 2.2**2))
+    return np.clip(vol + rng.normal(100, 5, shape), 0, None).astype(np.float32)
+
+
+def _numpy_reference_seconds(frame, params, min_area):
+    """The reference's CPU algorithm (scipy/numpy), one frame, one pass."""
+    import scipy.ndimage as ndi
+
+    def np_threshold(vals, nbins=256):
+        counts, edges = np.histogram(vals, bins=nbins, range=(vals.min(), vals.max()))
+        centers = (edges[:-1] + edges[1:]) / 2
+        p = counts / max(counts.sum(), 1)
+        w1 = np.cumsum(p)
+        m1 = np.divide(np.cumsum(p * centers), w1, out=np.zeros_like(w1), where=w1 > 0)
+        w2 = np.cumsum(p[::-1])[::-1]
+        m2 = (np.divide(np.cumsum((p * centers)[::-1]), np.cumsum(p[::-1]),
+                        out=np.zeros(nbins), where=np.cumsum(p[::-1]) > 0))[::-1]
+        var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+        return centers[np.argmax(var12)]
+
+    start = time.perf_counter()
+    gauss = frame.astype(np.float32)
+    vessel = np.zeros_like(gauss)
+    prev = 0.0
+    for sigma in params.sigmas:
+        vp = params.sigma_vec(prev)
+        vc = params.sigma_vec(sigma)
+        delta = tuple(np.sqrt(max(0.0, c * c - p * p)) for p, c in zip(vp, vc))
+        if any(d > 0 for d in delta):
+            gauss = ndi.gaussian_filter(gauss, delta, mode="reflect", truncate=3.0)
+        prev = sigma
+        pos = gauss[gauss > 0]
+        gamma = np_threshold(pos) if pos.size else 1.0
+        gamma_sq = 2 * gamma * gamma
+        g0, g1, g2 = np.gradient(gauss, *params.spacing)
+        hxx = np.gradient(g0, params.spacing[0], axis=0)
+        hxy = np.gradient(g0, params.spacing[1], axis=1)
+        hxz = np.gradient(g0, params.spacing[2], axis=2)
+        hyy = np.gradient(g1, params.spacing[1], axis=1)
+        hyz = np.gradient(g1, params.spacing[2], axis=2)
+        hzz = np.gradient(g2, params.spacing[2], axis=2)
+        frob = np.sqrt(hxx**2 + hyy**2 + hzz**2 + 2 * (hxy**2 + hxz**2 + hyz**2))
+        max_abs = max(np.abs(c).max() for c in (hxx, hxy, hxz, hyy, hyz, hzz)) or 1.0
+        frob /= max_abs
+        h_mask = frob > (np_threshold(frob[frob > 0]) / 2 if (frob > 0).any() else 0)
+        idx = np.where(h_mask)
+        H = np.zeros((idx[0].size, 3, 3), np.float32)
+        H[:, 0, 0], H[:, 0, 1], H[:, 0, 2] = hxx[idx], hxy[idx], hxz[idx]
+        H[:, 1, 0], H[:, 1, 1], H[:, 1, 2] = hxy[idx], hyy[idx], hyz[idx]
+        H[:, 2, 0], H[:, 2, 1], H[:, 2, 2] = hxz[idx], hyz[idx], hzz[idx]
+        ev = np.linalg.eigvalsh(H)
+        order = np.argsort(np.abs(ev), axis=1)
+        ev = np.take_along_axis(ev, order, axis=1)
+        l1, l2, l3 = ev[:, 0], ev[:, 1], ev[:, 2]
+        ra = (np.abs(l2) / (np.abs(l3) + 1e-12)) ** 2
+        rb = (np.abs(l2) / (np.sqrt(np.abs(l2 * l3)) + 1e-12)) ** 2
+        s2 = l1**2 + l2**2 + l3**2
+        v = (1 - np.exp(-ra / 0.5)) * np.exp(-rb / 0.5) * (1 - np.exp(-s2 / gamma_sq))
+        v[(l3 > 0) | (l2 > 0)] = 0
+        out = np.zeros_like(gauss)
+        out[idx] = np.nan_to_num(v)
+        vessel = np.maximum(vessel, out)
+    # segmentation
+    pos = vessel[vessel > 0]
+    if pos.size:
+        thr = 10 ** np_threshold(np.log10(pos))
+        mask = vessel > thr
+        mask = ndi.binary_fill_holes(mask)
+        labels, _ = ndi.label(mask, structure=np.ones((3, 3, 3)))
+        areas = np.bincount(labels.ravel())
+        areas[0] = 0
+        mask = (areas >= min_area)[labels]
+        mask = ndi.uniform_filter(mask.astype(np.float32), 3) > 0.5
+        ndi.label(mask, structure=np.ones((3, 3, 3)))
+    return time.perf_counter() - start
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+
+    from nellie_tpu.kernels import frangi as frangi_k
+    from nellie_tpu.mesh.sharded import _segment_step
+
+    shape = (64, 256, 256)
+    n_vox = int(np.prod(shape))
+    frame = _make_frame(shape)
+    params = frangi_k.FrangiParams(
+        sigmas=(0.625, 0.825, 1.025, 1.225, 1.425),
+        spacing=(0.5, 0.2, 0.2), z_ratio=2.5,
+    )
+    min_area = 4
+
+    dev = jax.devices()[0]
+    frame_dev = jax.device_put(jnp.asarray(frame), dev)
+
+    # warmup / compile (forcing device->host materialisation: on the
+    # tunnelled axon platform block_until_ready is not a reliable fence)
+    t_compile0 = time.perf_counter()
+    vessel, labels, n = _segment_step(frame_dev, params, min_area)
+    sink = float(jnp.sum(vessel)) + int(n)
+    compile_s = time.perf_counter() - t_compile0
+    print(f"[bench] compile+first-run: {compile_s:.1f}s on {dev.platform}", file=sys.stderr)
+
+    # steady state
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        vessel, labels, n = _segment_step(frame_dev, params, min_area)
+        sink += float(jnp.sum(vessel)) + float(jnp.max(labels))
+    per_frame = (time.perf_counter() - t0) / reps
+    vox_per_sec = n_vox / per_frame
+    print(f"[bench] steady-state: {per_frame:.3f}s/frame, {vox_per_sec:,.0f} vox/s, "
+          f"{int(n)} labels", file=sys.stderr)
+
+    # CPU reference-algorithm baseline (numpy/scipy, identical semantics)
+    base_s = _numpy_reference_seconds(frame, params, min_area)
+    base_vox_per_sec = n_vox / base_s
+    print(f"[bench] numpy/scipy reference: {base_s:.1f}s/frame "
+          f"({base_vox_per_sec:,.0f} vox/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frangi+eigen+segment voxels/sec/chip (3D 64x256x256 frame)",
+        "value": round(vox_per_sec),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(vox_per_sec / base_vox_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Sharded (multi-chip) execution of the segmentation compute path.
+
+Design: the per-frame kernels in ``nellie_tpu.kernels`` are pure dense
+XLA programs (stencils as pad+shift sums, thresholds as scatter-add
+histograms, CCL as gather/scatter fixpoints).  Annotating their inputs
+with a ``NamedSharding`` lets XLA GSPMD partition them over the mesh:
+
+* stencils  -> neighbour halo exchange over ICI (``ppermute`` under the
+  hood), with halo = kernel radius per axis
+* reductions (min/max/histogram/percentile) -> ``all-reduce``
+* CCL pointer jumping -> all-to-all gathers (correct; optimisation of
+  the distributed union-find into tile-local CC + boundary merges is a
+  later-round item)
+
+Mesh axes: ``t`` (data parallel over frames/files) x ``z`` (spatial).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nellie_tpu.kernels import ccl
+from nellie_tpu.kernels import frangi as frangi_k
+from nellie_tpu.kernels import thresholds as thr_k
+from nellie_tpu.kernels.filters import uniform_filter
+
+
+def make_mesh(n_devices: Optional[int] = None, t_axis: int = 1) -> Mesh:
+    """Mesh over (t, z): ``t_axis`` data-parallel groups, rest spatial."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if n_devices % t_axis != 0:
+        t_axis = 1
+    grid = devices.reshape(t_axis, n_devices // t_axis)
+    return Mesh(grid, ("t", "z"))
+
+
+def shard_volume(volume: jnp.ndarray, mesh: Mesh, batched: bool = False):
+    """Place a (Z,Y,X) or (T,Z,Y,X) volume with Z sharded over the mesh."""
+    if batched:
+        spec = P("t", "z")
+    else:
+        spec = P("z")
+    return jax.device_put(volume, NamedSharding(mesh, spec))
+
+
+@partial(jax.jit, static_argnames=("params", "min_area"))
+def _segment_step(frame, params: frangi_k.FrangiParams, min_area: int):
+    """Frangi vesselness -> global log-domain threshold -> CC labels.
+
+    One frame of the Filter+Label compute path as a single XLA program;
+    under GSPMD sharding all reductions are global, so sharded == single
+    chip (up to float reduction order).
+    """
+    vessel, _ = frangi_k.vesselness_frame(frame, params)
+    flat = vessel.reshape(-1)
+    pos = flat > 0
+    logv = jnp.log10(jnp.where(pos, flat, 1.0))
+    tri = thr_k.triangle_threshold(logv, pos)
+    ots, _ = thr_k.otsu_threshold(logv, pos)
+    threshold = jnp.minimum(10.0**tri, 10.0**ots)
+    mask = vessel > threshold
+    mask = ccl.fill_holes(mask) if frame.ndim == 3 else mask
+    mask = ccl.remove_small_components(mask, min_area)
+    mask = uniform_filter(mask.astype(jnp.float32), 3) > 0.5
+    labels, n = ccl.label(mask)
+    return vessel, labels.astype(jnp.int32), n
+
+
+def sharded_vesselness(volume, params: frangi_k.FrangiParams, mesh: Mesh):
+    """Multi-chip vesselness of one (Z,Y,X) frame (Z sharded)."""
+    sharded = shard_volume(jnp.asarray(volume, jnp.float32), mesh)
+    fn = jax.jit(
+        lambda v: frangi_k.vesselness_frame(v, params)[0],
+        in_shardings=NamedSharding(mesh, P("z")),
+        out_shardings=NamedSharding(mesh, P("z")),
+    )
+    return fn(sharded)
+
+
+def sharded_segment_step(
+    batch, params: frangi_k.FrangiParams, mesh: Mesh, min_area: int = 4
+):
+    """The full segment compute step over a (T, Z, Y, X) batch:
+    frames shard over the ``t`` mesh axis (data parallel), Z over ``z``
+    (spatial parallel with halo exchange)."""
+    batch = jnp.asarray(batch, jnp.float32)
+    in_sharding = NamedSharding(mesh, P("t", "z"))
+    out_sharding = (
+        NamedSharding(mesh, P("t", "z")),
+        NamedSharding(mesh, P("t", "z")),
+        NamedSharding(mesh, P("t")),
+    )
+
+    def step(frames):
+        return jax.vmap(lambda f: _segment_step(f, params, min_area))(frames)
+
+    fn = jax.jit(step, in_shardings=in_sharding, out_shardings=out_sharding)
+    return fn(jax.device_put(batch, in_sharding))

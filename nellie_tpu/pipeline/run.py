@@ -1,0 +1,95 @@
+"""Main entry point for the nellie_tpu pipeline.
+
+Same orchestration contract as the reference
+(``/root/reference/nellie/run.py:18-130``): the seven stages run in order
+through the on-disk artifact store, so any stage can be re-run
+independently and the GUI's artifact-existence resume works unchanged.
+``timeit=True`` prints per-stage wall time (the reference's benchmark
+harness and this build's bench.py metric source).
+"""
+from __future__ import annotations
+
+import time
+
+from nellie_tpu.io.verifier import FileInfo, ImInfo
+from nellie_tpu.stages.filtering import Filter
+from nellie_tpu.stages.hierarchical import Hierarchy
+from nellie_tpu.stages.hu_tracking import HuMomentTracking
+from nellie_tpu.stages.labelling import Label
+from nellie_tpu.stages.mocap_marking import Markers
+from nellie_tpu.stages.networking import Network
+from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+
+def run(
+    file_info,
+    remove_edges=False,
+    otsu_thresh_intensity=False,
+    threshold=None,
+    timeit=False,
+    device="auto",
+    low_memory=False,
+    skip_nodes=False,
+    return_timings=False,
+):
+    """Run the full pipeline on a prepared :class:`FileInfo`.
+
+    Returns the :class:`ImInfo` (and per-stage timings dict if
+    ``return_timings``).
+    """
+    im_info = ImInfo(file_info)
+    timings = {}
+
+    def timed(name, stage):
+        start = time.perf_counter()
+        stage.run()
+        timings[name] = time.perf_counter() - start
+
+    timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
+                           low_memory=low_memory))
+    timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
+                         threshold=threshold, device=device, low_memory=low_memory))
+    timed("network", Network(im_info, device=device))
+    timed("markers", Markers(im_info, device=device))
+    timed("tracking", HuMomentTracking(im_info, device=device, low_memory=low_memory))
+    timed("reassign", VoxelReassigner(im_info, device=device))
+    timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
+                                 low_memory=low_memory))
+
+    timings["total"] = sum(timings.values())
+    if timeit:
+        print(f"Nellie Pipeline: Filter step took {timings['filter']:.4f} seconds")
+        print(f"Nellie Pipeline: Label step took {timings['label']:.4f} seconds")
+        print(f"Nellie Pipeline: Network step took {timings['network']:.4f} seconds")
+        print(f"Nellie Pipeline: Markers step took {timings['markers']:.4f} seconds")
+        print(f"Nellie Pipeline: HuMomentTracking step took {timings['tracking']:.4f} seconds")
+        print(f"Nellie Pipeline: VoxelReassigner step took {timings['reassign']:.4f} seconds")
+        print(f"Nellie Pipeline: Hierarchy step took {timings['hierarchy']:.4f} seconds")
+        print(f"Nellie Pipeline: Total time took {timings['total']:.4f} seconds")
+
+    if return_timings:
+        return im_info, timings
+    return im_info
+
+
+def run_path(
+    filepath,
+    ch: int = 0,
+    t_start: int = 0,
+    t_end=None,
+    output_dir=None,
+    **kwargs,
+):
+    """Convenience wrapper: path -> FileInfo (metadata autodetect) -> run()."""
+    file_info = FileInfo(filepath, output_dir=output_dir)
+    file_info.find_metadata()
+    file_info.load_metadata()
+    if ch and "C" in (file_info.axes or ""):
+        file_info.change_selected_channel(ch)
+    if (t_start or t_end is not None) and "T" in (file_info.axes or ""):
+        file_info.select_temporal_range(t_start, t_end)
+    errors = file_info.get_validation_errors()
+    if errors:
+        raise ValueError(f"Metadata incomplete for {filepath}: {errors}. "
+                         "Fix axes/resolutions via FileInfo before running.")
+    return run(file_info, **kwargs)

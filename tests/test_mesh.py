@@ -1,0 +1,44 @@
+"""Sharding tests on the 8-device virtual CPU mesh: sharded == single-chip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nellie_tpu.kernels import frangi as frangi_k
+from nellie_tpu.mesh import make_mesh, sharded_segment_step, sharded_vesselness
+
+
+def _tube(shape=(16, 32, 32), seed=0):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0 : shape[0], 0 : shape[1], 0 : shape[2]]
+    tube = 800.0 * np.exp(-(((z - 8) ** 2) * 0.3 + (y - 16 + 4 * np.sin(x / 6.0)) ** 2 / 2) / (2 * 2.0**2))
+    return np.clip(tube + rng.normal(100, 5, shape), 0, None).astype(np.float32)
+
+
+PARAMS = frangi_k.FrangiParams(sigmas=(0.75, 0.95), spacing=(0.5, 0.2, 0.2), z_ratio=2.5)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_vesselness_matches_single_device():
+    frame = _tube()
+    single, _ = frangi_k.vesselness_frame(jnp.asarray(frame), PARAMS)
+    mesh = make_mesh(8, t_axis=1)
+    sharded = sharded_vesselness(frame, PARAMS, mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_segment_step_batch():
+    batch = np.stack([_tube(seed=i) for i in range(2)])
+    mesh = make_mesh(8, t_axis=2)
+    vessel, labels, counts = sharded_segment_step(batch, PARAMS, mesh)
+    vessel = np.asarray(vessel)
+    labels = np.asarray(labels)
+    assert vessel.shape == batch.shape
+    assert labels.shape == batch.shape
+    assert (labels > 0).any()
+    # frames are near-identical content; label counts should match
+    assert int(counts[0]) >= 1 and int(counts[1]) >= 1
