@@ -73,6 +73,44 @@ def _correlate1d(x: jnp.ndarray, weights: np.ndarray, axis: int) -> jnp.ndarray:
     return out if out is not None else jnp.zeros_like(x)
 
 
+def correlate1d_traced(x: jnp.ndarray, weights: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Correlate with a *traced* weight vector of static length (the taps
+    may be zero-padded).  Lets lax.scan share one compiled body across
+    filter scales with different kernels."""
+    taps = int(weights.shape[0])
+    radius = taps // 2
+    if radius == 0:
+        return x * weights[0]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    xp = jnp.pad(x, pad, mode="symmetric")
+    n = x.shape[axis]
+    out = jnp.zeros_like(x)
+    for k in range(taps):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k, k + n)
+        out = out + xp[tuple(sl)] * weights[k]
+    return out
+
+
+def gaussian_kernel1d_padded(sigma: float, taps: int, truncate: float = 3.0) -> np.ndarray:
+    """Gaussian taps centre-padded with zeros to a fixed static length.
+
+    Zero taps contribute nothing, so a padded kernel is exactly the
+    unpadded one; identity (sigma<=0) becomes a centred delta."""
+    out = np.zeros(taps, np.float64)
+    center = taps // 2
+    if sigma <= 0:
+        out[center] = 1.0
+        return out
+    k = gaussian_kernel1d(sigma, truncate)
+    r = len(k) // 2
+    if 2 * r + 1 > taps:
+        raise ValueError(f"kernel radius {r} exceeds padded taps {taps}")
+    out[center - r : center + r + 1] = k
+    return out
+
+
 def gaussian_filter(
     x: jnp.ndarray,
     sigma: Sequence[float],

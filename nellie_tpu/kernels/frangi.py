@@ -107,28 +107,46 @@ def _frangi_response(eigs, gamma_sq, params: FrangiParams):
     return jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+def _delta_kernels(params: FrangiParams, ndim: int):
+    """Per-scale incremental Gaussian taps, zero-padded to a shared static
+    length per axis so lax.scan can share one compiled body."""
+    deltas = []
+    prev = 0.0
+    for sigma in params.sigmas:
+        vp = params.sigma_vec(prev)
+        vc = params.sigma_vec(sigma)
+        deltas.append(tuple(
+            float(np.sqrt(max(0.0, c * c - p * p))) for p, c in zip(vp, vc)))
+        prev = sigma
+    taps = []
+    for axis in range(ndim):
+        r_max = max(int(params.truncate * d[axis] + 0.5) for d in deltas)
+        t = 2 * r_max + 1
+        taps.append(np.stack([
+            filters.gaussian_kernel1d_padded(d[axis], t, params.truncate) for d in deltas
+        ]).astype(np.float32))
+    return taps  # list of (n_scales, taps_axis) arrays
+
+
 @partial(jax.jit, static_argnames=("params", "apply_mask"))
 def vesselness_frame(frame: jnp.ndarray, params: FrangiParams, apply_mask: bool = True):
     """Multi-scale vesselness of one 2D/3D frame.
 
     Returns (vesselness * accumulated_mask, accumulated_mask) — i.e. the
     product the reference computes at ``filtering.py:925-926``.
+
+    The scale loop is a lax.scan with traced (zero-padded) Gaussian taps:
+    one compiled body regardless of the number of scales.
     """
     frame = frame.astype(jnp.float32)
-    vessel = jnp.zeros_like(frame)
-    all_mask = jnp.ones(frame.shape, dtype=bool)
+    ndim = frame.ndim
+    kernel_stacks = _delta_kernels(params, ndim)
+    scan_weights = tuple(jnp.asarray(k) for k in kernel_stacks)
 
-    gauss = frame
-    prev_sigma = 0.0
-    for sigma in params.sigmas:
-        vec_prev = params.sigma_vec(prev_sigma)
-        vec_curr = params.sigma_vec(sigma)
-        delta = tuple(
-            float(np.sqrt(max(0.0, c * c - p * p))) for p, c in zip(vec_prev, vec_curr)
-        )
-        if any(d > 0 for d in delta):
-            gauss = filters.gaussian_filter(gauss, delta, truncate=params.truncate)
-        prev_sigma = sigma
+    def scale_body(carry, ws):
+        gauss, vessel, all_mask = carry
+        for axis in range(ndim):
+            gauss = filters.correlate1d_traced(gauss, ws[axis], axis)
 
         gamma = _gamma(gauss, params.max_threshold_samples)
         gamma_sq = 2.0 * gamma * gamma
@@ -136,7 +154,7 @@ def vesselness_frame(frame: jnp.ndarray, params: FrangiParams, apply_mask: bool 
         h, frob = hessian_components(gauss, params.spacing)
         h_mask = _frob_mask(frob, params) if apply_mask else jnp.ones(frame.shape, bool)
 
-        if frame.ndim == 2:
+        if ndim == 2:
             eigs = eigen.eigvalsh2(h["hxx"], h["hxy"], h["hyy"])
         else:
             eigs = eigen.eigvalsh3(h["hxx"], h["hxy"], h["hxz"], h["hyy"], h["hyz"], h["hzz"])
@@ -145,7 +163,10 @@ def vesselness_frame(frame: jnp.ndarray, params: FrangiParams, apply_mask: bool 
         v = jnp.where(h_mask, v, 0.0)
         vessel = jnp.maximum(vessel, v)
         all_mask = all_mask & h_mask
+        return (gauss, vessel, all_mask), None
 
+    init = (frame, jnp.zeros_like(frame), jnp.ones(frame.shape, dtype=bool))
+    (gauss, vessel, all_mask), _ = jax.lax.scan(scale_body, init, scan_weights)
     return vessel * all_mask, all_mask
 
 
