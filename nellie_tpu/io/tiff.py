@@ -169,14 +169,33 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(data: bytes, compression: int) -> bytes:
+def _decompress(data: bytes, compression: int, expected_size: int = 0) -> bytes:
     if compression == COMPRESSION.NONE:
         return data
     if compression in (COMPRESSION.DEFLATE, COMPRESSION.ADOBE_DEFLATE):
         return zlib.decompress(data)
+    # native C++ fast path (nellie_tpu/native/tiff_codec.cpp), python fallback
     if compression == COMPRESSION.PACKBITS:
+        if expected_size:
+            try:
+                from nellie_tpu import native
+
+                out = native.packbits_decode(data, expected_size)
+                if out is not None:
+                    return out
+            except Exception:
+                pass
         return _packbits_decode(data)
     if compression == COMPRESSION.LZW:
+        if expected_size:
+            try:
+                from nellie_tpu import native
+
+                out = native.lzw_decode(data, expected_size)
+                if out is not None:
+                    return out
+            except Exception:
+                pass
         return _lzw_decode(data)
     raise ValueError(f"Unsupported TIFF compression: {compression}")
 
@@ -522,7 +541,8 @@ class TiffFile:
         for off, cnt in zip(offsets, counts):
             self._fh.seek(int(off))
             raw = self._fh.read(int(cnt))
-            data = _decompress(raw, compression)
+            nrows_exp = min(rows_per_strip, height - row)
+            data = _decompress(raw, compression, expected_size=nrows_exp * row_bytes)
             nrows = min(rows_per_strip, height - row)
             need = nrows * row_bytes
             strip = np.frombuffer(data[:need], dtype=np.uint8).reshape(nrows, row_bytes)
