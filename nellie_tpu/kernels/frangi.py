@@ -202,6 +202,29 @@ def masked_percentile(values: jnp.ndarray, mask: jnp.ndarray, q: float) -> jnp.n
 
 
 @partial(jax.jit, static_argnames=("max_samples",))
+def finalize_frame(frangi_frame: jnp.ndarray, max_samples: int = int(1e6)) -> jnp.ndarray:
+    """Conditionally apply the percentile-mask refinement: only when the
+    frame has signal (``filtering.py:1016-1018``) — one jitted program,
+    no host sync."""
+    total = jnp.sum(frangi_frame)
+    return jax.lax.cond(
+        total > 0,
+        lambda v: mask_volume_impl(v, max_samples),
+        lambda v: v,
+        frangi_frame,
+    )
+
+
+def mask_volume_impl(frangi_frame: jnp.ndarray, max_samples: int) -> jnp.ndarray:
+    sample, pos = _subsampled_positive(frangi_frame, max_samples)
+    thr = masked_percentile(sample, pos, 1.0)
+    mask = frangi_frame > thr
+    mask = filters.binary_opening(mask)
+    out = frangi_frame * mask
+    return jnp.where(jnp.any(pos), out, frangi_frame)
+
+
+@partial(jax.jit, static_argnames=("max_samples",))
 def mask_volume(frangi_frame: jnp.ndarray, max_samples: int = int(1e6)) -> jnp.ndarray:
     """Percentile-1 threshold + binary opening refinement
     (``filtering.py:952-967``)."""

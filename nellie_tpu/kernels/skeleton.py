@@ -47,10 +47,15 @@ def _pack26(fg: jnp.ndarray) -> jnp.ndarray:
     return code
 
 
-def _deletable(fg: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+def _deletable(fg: jnp.ndarray, lut: jnp.ndarray, where=None) -> jnp.ndarray:
+    """LUT deletability, evaluated only at ``where`` voxels (indices are
+    clamped to 0 elsewhere, which collapses most of the gather onto one
+    cache line — gathers are the dominant cost of thinning on TPU)."""
     code = _pack26(fg)
+    sel = fg if where is None else (fg & where)
+    code = jnp.where(sel, code, 0)
     byte = lut[code >> 3]
-    return ((byte >> (code & 7).astype(jnp.uint8)) & 1).astype(bool) & fg
+    return ((byte >> (code & 7).astype(jnp.uint8)) & 1).astype(bool) & sel
 
 
 _DIRECTIONS = ((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1))
@@ -66,17 +71,39 @@ def skeletonize_3d(mask: jnp.ndarray) -> jnp.ndarray:
     parity = (iz % 2) * 4 + (iy % 2) * 2 + (ix % 2)
 
     def one_direction(fg, d):
-        # 8-subfield scheme: same-parity voxels are pairwise non-26-adjacent,
-        # so deleting all simple border points of one subfield simultaneously
-        # is equivalent to some sequential order; deletability is recomputed
-        # on the current image for each subfield (fori_loop keeps the HLO small).
-        def subfield(sf, fg):
-            neighbor_d = _shift3(fg, _DIRECTIONS[d], False)
-            border = fg & ~neighbor_d
-            cand = border & _deletable(fg, lut) & (parity == sf)
-            return fg & ~cand
+        # Lee-style subiteration: the candidate set is FIXED to the
+        # direction-d border layer at pass start (so each sweep peels one
+        # layer per direction — deep one-sided erosion would collapse tubes
+        # into sheets).  Within the pass, simplicity is RE-CHECKED against
+        # the current image as deletions land (fresh pack + LUT gather per
+        # inner round), and each round commits a conflict-free subset: a
+        # candidate is blocked by any 26-adjacent candidate of lower parity
+        # index.  The committed set is pairwise non-adjacent (equal parity
+        # is never adjacent), so the parallel commit is equivalent to some
+        # sequential order of simple-point deletions — topology-preserving.
+        # Candidates that lose simplicity are dropped (Lee's skip); any
+        # nonempty still-simple set has an unblocked member (its
+        # cluster-minimum parity), so the inner loop can't stall.
+        neighbor_d = _shift3(fg, _DIRECTIONS[d], False)
+        border = fg & ~neighbor_d
+        cand0 = _deletable(fg, lut, where=border)
 
-        return lax.fori_loop(0, 8, subfield, fg)
+        def body(state):
+            cur, remaining, _ = state
+            del_now = _deletable(cur, lut, where=remaining)
+            blocked = jnp.zeros_like(del_now)
+            for off in OFFSETS_26:
+                flip = ((abs(off[0]) % 2) << 2) | ((abs(off[1]) % 2) << 1) | (abs(off[2]) % 2)
+                nb_cand = _shift3(del_now, off, False)
+                nb_parity = parity ^ flip  # parity index of the voxel at +off
+                blocked = blocked | (nb_cand & (nb_parity < parity))
+            commit = del_now & ~blocked
+            cur = cur & ~commit
+            remaining = del_now & ~commit
+            return cur, remaining, jnp.any(commit)
+
+        fg, _, _ = lax.while_loop(lambda s: s[2], body, (fg, cand0, jnp.any(cand0)))
+        return fg
 
     def body(state):
         fg, _ = state

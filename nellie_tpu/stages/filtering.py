@@ -197,21 +197,30 @@ class Filter:
                 chunk_voxels = max(1, chunk_voxels // 2)
 
     # -- top level -----------------------------------------------------------
+    def _write_frame(self, t, frame_dev):
+        filtered_im = np.asarray(frame_dev, dtype=np.float32)
+        if self.im_info.no_t or self.num_t == 1:
+            self.frangi_memmap[:] = (
+                filtered_im[None] if self.frangi_memmap.ndim == filtered_im.ndim + 1
+                else filtered_im)
+        else:
+            self.frangi_memmap[t, ...] = filtered_im
+        self.frangi_memmap.flush()
+
     def _run_filter(self, mask=True):
+        # double-buffered: frame t+1's compute is dispatched before frame
+        # t's result is pulled to host/disk (async JAX dispatch overlaps them)
+        pending = None
         for t in range(self.num_t):
             if self.viewer is not None:
                 self.viewer.status = f"Preprocessing. Frame: {t + 1} of {self.num_t}."
             frangi_frame = self._run_frame(t, mask=mask)
-            total = float(jnp.sum(frangi_frame))
-            if total > 0.0:
-                frangi_frame = frangi_k.mask_volume(frangi_frame, self.max_threshold_samples)
-            filtered_im = np.asarray(frangi_frame, dtype=np.float32)
-
-            if self.im_info.no_t or self.num_t == 1:
-                self.frangi_memmap[:] = filtered_im[None] if self.frangi_memmap.ndim == filtered_im.ndim + 1 else filtered_im
-            else:
-                self.frangi_memmap[t, ...] = filtered_im
-            self.frangi_memmap.flush()
+            frangi_frame = frangi_k.finalize_frame(frangi_frame, self.max_threshold_samples)
+            if pending is not None:
+                self._write_frame(*pending)
+            pending = (t, frangi_frame)
+        if pending is not None:
+            self._write_frame(*pending)
 
     def run(self, mask=True):
         logger.info("Running Frangi filter.")
