@@ -102,6 +102,41 @@ def test_full_pipeline_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_pipeline_2d_timeseries(tmp_path):
+    """BASELINE config #2: 2D + timeseries — Frangi + labelling +
+    Hu-moment tracking per frame."""
+    from nellie_tpu.pipeline.run import run
+
+    rng = np.random.default_rng(4)
+    frames = []
+    y, x = np.mgrid[0:64, 0:64]
+    for t in range(3):
+        line = 700 * np.exp(-((y - 30 - 2 * t + 6 * np.sin(x / 7)) ** 2) / (2 * 2.0**2))
+        frames.append(np.clip(line + rng.normal(80, 5, (64, 64)), 0, None))
+    data = np.stack(frames).astype(np.uint16)
+    desc = ome_mod.build_ome_xml("TYX", data.shape, "uint16",
+                                 dim_res={"X": 0.1, "Y": 0.1, "Z": None, "T": 2.0})
+    path = tmp_path / "series2d.ome.tif"
+    tifffile.imwrite(path, data, description=desc)
+    fi = FileInfo(str(path))
+    fi.find_metadata()
+    fi.load_metadata()
+
+    im_info = run(fi)
+    pp = im_info.pipeline_paths
+    labels = np.asarray(im_info.get_memmap(pp["im_instance_label"]))
+    assert labels.shape == (3, 64, 64)
+    assert all((labels[t] > 0).any() for t in range(3))
+    flow = np.load(pp["flow_vector_array"])
+    assert flow.shape[1] == 6  # 2D rows: t, y, x, vy, vx, cost
+    assert flow.shape[0] > 0
+    # the line moves +2 in y per frame
+    assert np.median(flow[:, 3]) == pytest.approx(2, abs=1.0)
+    organelles = pd.read_csv(pp["features_organelles"])
+    assert len(organelles) >= 3
+
+
+@pytest.mark.slow
 def test_pipeline_2d_single_frame(tmp_path):
     """2D no-T path: tracking stages no-op, features still produced."""
     from nellie_tpu.pipeline.run import run
