@@ -71,24 +71,32 @@ def _adjacency_6_within_18():
     return adj
 
 
-def _count_components_chunk(bits, cell_ids, adjacency, seed_cells=None, iters=10):
+def _count_components_chunk(bits, cell_ids, adjacency, seed_cells=None, iters=None):
     """Vectorised component counting over many configurations.
 
     bits: (26, N) bool occupancy.  Returns (count, N) where count = number
     of connected components among occupied cells (optionally only
-    components containing a seed cell).
+    components containing a seed cell).  Propagation iterates to full
+    convergence (worst case = longest induced path, e.g. 12 for the
+    6-adjacency N18 graph) unless ``iters`` caps it.
     """
     n = bits.shape[1]
     big = np.uint8(99)
     labels = {c: np.where(bits[c], np.uint8(c), big) for c in cell_ids}
-    for _ in range(iters):
+    max_iters = iters if iters is not None else len(list(cell_ids)) + 2
+    for _ in range(max_iters):
+        changed = False
         new_labels = {}
         for c in cell_ids:
             m = labels[c]
             for j in adjacency[c] if isinstance(adjacency, dict) else adjacency[c]:
                 m = np.minimum(m, labels[j])
-            new_labels[c] = np.where(bits[c], m, big)
+            new = np.where(bits[c], m, big)
+            changed = changed or not np.array_equal(new, labels[c])
+            new_labels[c] = new
         labels = new_labels
+        if not changed:
+            break
     if seed_cells is None:
         count = np.zeros(n, np.uint8)
         for c in cell_ids:
@@ -125,11 +133,11 @@ def build_simple26_lut(chunk_bits: int = 22, verbose: bool = False) -> np.ndarra
 
         n_fg = bits.sum(axis=0)
         # condition 1: exactly one 26-component of fg cells
-        fg_count = _count_components_chunk(bits, range(26), adj26, iters=8)
+        fg_count = _count_components_chunk(bits, range(26), adj26)
         cond1 = fg_count == 1
         # condition 2: exactly one 6-component of bg within N18 touching a face
         bg_bits = ~bits
-        bg_count = _count_components_chunk(bg_bits, cells18, adj6, seed_cells=faces, iters=10)
+        bg_count = _count_components_chunk(bg_bits, cells18, adj6, seed_cells=faces)
         cond2 = bg_count == 1
 
         deletable = cond1 & cond2 & (n_fg > 1)  # n_fg==1 endpoint, ==0 isolated
@@ -158,6 +166,23 @@ def get_simple26_lut() -> np.ndarray:
         pass
     _lut_cache = lut
     return _lut_cache
+
+
+def adjacency_26():
+    """Public static adjacency of the 26-cell neighbourhood graph."""
+    return _adjacency_26()
+
+
+def n18_cells():
+    return _n18_cells()
+
+
+def face_cells():
+    return _face_cells()
+
+
+def adjacency_6_within_18():
+    return _adjacency_6_within_18()
 
 
 def is_deletable_config(code: int) -> bool:
