@@ -214,6 +214,34 @@ class Network:
             np.asarray(branch_labels, dtype=np.uint32),
         )
 
+    def _clean_junctions(self, pixel_class):
+        """Collapse each junction cluster to its centroid-nearest voxel,
+        demoting the rest to edge class (reference ``networking.py:856-897``;
+        present for API parity — like the reference, the main frame path
+        does not call it)."""
+        pc = np.asarray(pixel_class).copy()
+        junctions = pc == 4
+        if not junctions.any():
+            return pc
+        labels, n = ccl.label(jnp.asarray(junctions))
+        labels = np.asarray(labels)
+        coords = np.argwhere(junctions)
+        lbls = labels[tuple(coords.T)]
+        order = np.argsort(lbls, kind="stable")
+        sorted_lbls = lbls[order]
+        sorted_coords = coords[order]
+        starts = np.searchsorted(sorted_lbls, np.arange(1, int(n) + 1))
+        ends = np.append(starts[1:], len(sorted_lbls))
+        for s, e in zip(starts, ends):
+            group = sorted_coords[s:e]
+            if len(group) < 2:
+                continue
+            centroid = group.mean(axis=0)
+            keep = np.argmin(np.sum((group - centroid) ** 2, axis=1))
+            demote = np.delete(group, keep, axis=0)
+            pc[tuple(demote.T)] = 3
+        return pc
+
     def _run_networking(self):
         for t in range(self.num_t):
             if self.viewer is not None:

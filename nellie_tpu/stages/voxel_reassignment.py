@@ -226,6 +226,31 @@ class VoxelReassigner:
         best = order[change]
         return vox_prev[best], vox_next[best]
 
+    def _assign_unique_matches(self, vox_prev_matches, vox_next_matches, distances):
+        """Greedy 1-to-1 matching by ascending distance (reference
+        ``voxel_reassignment.py:662-720``; kept for API parity — the main
+        path uses weighted voting)."""
+        dim = vox_prev_matches.shape[1] if vox_prev_matches.ndim == 2 else 3
+        if len(distances) == 0:
+            return (np.empty((0, dim), np.int64), np.empty((0, dim), np.int64))
+        prev_flat = np.ravel_multi_index(vox_prev_matches.T, self.spatial_shape)
+        next_flat = np.ravel_multi_index(vox_next_matches.T, self.spatial_shape)
+        order = np.argsort(distances, kind="stable")
+        used_prev = set()
+        used_next = set()
+        keep = []
+        for i in order:
+            p, n = int(prev_flat[i]), int(next_flat[i])
+            if p in used_prev or n in used_next:
+                continue
+            used_prev.add(p)
+            used_next.add(n)
+            keep.append(i)
+        if not keep:
+            return (np.empty((0, dim), np.int64), np.empty((0, dim), np.int64))
+        keep = np.asarray(keep, np.int64)
+        return vox_prev_matches[keep], vox_next_matches[keep]
+
     def _vote_targets(self, target_coords, source_labels, distances):
         """Weighted voting: best source-label per target voxel
         (``voxel_reassignment.py:429-471``)."""

@@ -111,3 +111,19 @@ def test_voxel_reassigner_propagates_labels(tmp_path):
     assert len(matches) == 2  # two transitions
     prev, nxt = matches[0]
     assert prev.shape == nxt.shape and prev.shape[1] == 3
+
+
+def test_assign_unique_matches_one_to_one():
+    from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+    vr = VoxelReassigner.__new__(VoxelReassigner)
+    vr.spatial_shape = (10, 10, 10)
+    prev = np.asarray([[1, 1, 1], [1, 1, 1], [2, 2, 2]])
+    nxt = np.asarray([[3, 3, 3], [4, 4, 4], [3, 3, 3]])
+    dist = np.asarray([0.5, 0.2, 0.1])
+    p, n = vr._assign_unique_matches(prev, nxt, dist)
+    # greedy by distance: (2,2,2)->(3,3,3) first, then (1,1,1)->(4,4,4)
+    assert len(p) == 2
+    pairs = {(tuple(a), tuple(b)) for a, b in zip(p, n)}
+    assert ((2, 2, 2), (3, 3, 3)) in pairs
+    assert ((1, 1, 1), (4, 4, 4)) in pairs

@@ -123,3 +123,19 @@ def test_network_stage_end_to_end(tmp_path):
     assert set(np.unique(rel[labels == 1])).isdisjoint(set(np.unique(rel[labels == 2])))
     # pixel classes within 0..4
     assert pc.max() <= 4
+
+
+def test_clean_junctions_collapses_clusters():
+    pc = np.zeros((16, 16, 16), np.uint8)
+    pc[8, 8, 2:12] = 3
+    pc[8, 8, 6] = 4
+    pc[8, 8, 7] = 4   # two adjacent junction voxels -> one survives
+    pc[8, 7, 6] = 4
+    from nellie_tpu.io.verifier import FileInfo
+    import types
+    fake = types.SimpleNamespace(no_z=False)
+    net = Network.__new__(Network)
+    net.im_info = fake
+    out = net._clean_junctions(pc)
+    assert (out == 4).sum() == 1
+    assert (out == 3).sum() == (pc == 3).sum() + 2
