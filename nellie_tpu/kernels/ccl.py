@@ -2,20 +2,17 @@
 
 The reference uses ``scipy.ndimage.label`` / ``cupyx`` with a full 3³
 structuring element (``labelling.py:489,507``) and host union-find for
-cross-chunk merges (``labelling.py:221-287``).  On TPU we run a
-FastSV-style parallel union-find over the *whole* volume:
+cross-chunk merges (``labelling.py:221-287``).  On TPU, component labels
+are propagated as a fixpoint of
 
-  P[i] <- min linear index reachable so far (parent pointer)
-  repeat until fixpoint:
-    m[i]    = min over {i} ∪ fg-neighbours of P          (stencil, VPU)
-    P[P[i]] = min(P[P[i]], m[i])                          (scatter-min hook)
-    P[i]    = min(P[i], m[i])
-    P       = P∘P ... ∘P  (⌈log₂ n⌉ pointer-doubling gathers)
+  segmented min-scans along every axis (lax.associative_scan — a label
+  crosses a whole straight run in one log-depth pass)
+  + a 26/8-neighbour min stencil (hops across bends and diagonals)
 
-which converges in O(log n) rounds with only dense stencils, gathers and
-scatter-mins — no data-dependent shapes.  Because the root of each
-component is its minimum linear (raster-order) index, ranking roots by
-cumsum reproduces scipy's label numbering *exactly*.
+with NO gathers or scatters in the loop — TPUs execute those poorly
+(an earlier FastSV pointer-jumping variant was 10x slower).  Because
+each component converges to its minimum linear (raster-order) index,
+ranking roots by cumsum reproduces scipy's label numbering *exactly*.
 
 ``fill_holes`` runs the same machinery on the background with
 face-connectivity and keeps only components that touch the volume
