@@ -117,3 +117,30 @@ def test_packbits_and_deflate_decode():
 
     payload = bytes(range(100))
     assert tiff._decompress(zlib.compress(payload), 8) == payload
+
+
+def test_big_endian_classic_tiff(tmp_path, rng):
+    """Hand-built MM (big-endian) classic TIFF, uncompressed."""
+    import struct
+
+    data = rng.integers(0, 60000, (10, 12), dtype=np.uint16)
+    payload = data.astype(">u2").tobytes()
+    entries = [
+        (256, 3, 1, 12), (257, 3, 1, 10), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8 + 2 + 12 * 9 + 4), (277, 3, 1, 1),
+        (278, 4, 1, 10), (279, 4, 1, len(payload)),
+    ]
+    buf = b"MM" + struct.pack(">HI", 42, 8)
+    buf += struct.pack(">H", len(entries))
+    for code, ttype, count, value in entries:
+        if ttype == 3:  # SHORT values sit left-aligned in the 4-byte slot
+            buf += struct.pack(">HHIHH", code, ttype, count, value, 0)
+        else:
+            buf += struct.pack(">HHII", code, ttype, count, value)
+    buf += struct.pack(">I", 0)
+    buf += payload
+    path = tmp_path / "be.tif"
+    path.write_bytes(buf)
+
+    back = tiff.imread(path)
+    np.testing.assert_array_equal(back.astype(np.uint16), data)
