@@ -35,23 +35,6 @@ from nellie_tpu.utils import adaptive_run
 from nellie_tpu.utils.base_logger import logger
 
 
-@jax.jit
-def _nn_tile_kernel(query, refs, refs_valid):
-    """(Q, d) queries vs (M, d) refs -> (min_dist, argmin) per query."""
-    diff = query[:, None, :] - refs[None, :, :]
-    d2 = jnp.sum(diff * diff, axis=2)
-    d2 = jnp.where(refs_valid[None, :], d2, jnp.inf)
-    idx = jnp.argmin(d2, axis=1)
-    return jnp.sqrt(jnp.min(d2, axis=1)), idx
-
-
-def _bucket(n, minimum=128):
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
-
-
 class VoxelReassigner:
     """Dense voxel matching along the flow field + weighted label voting."""
 
@@ -100,40 +83,19 @@ class VoxelReassigner:
             self.flow_interpolator_fw.scaling, np.float32)
 
     def _nn_match(self, coords_real_scaled, coords_query_scaled):
-        """Nearest real voxel for each query centroid (tiled brute force)."""
+        """Nearest real voxel for each query centroid.
+
+        Runs the Pallas MXU distance-tile kernel
+        (:mod:`nellie_tpu.kernels.pallas_nn`) on TPU — |q-r|^2 as one
+        contraction per tile with an in-VMEM argmin accumulator — with
+        the same-formulation XLA fallback elsewhere."""
+        from nellie_tpu.kernels import pallas_nn
+
         m = coords_real_scaled.shape[0]
         q = coords_query_scaled.shape[0]
-        d = coords_real_scaled.shape[1]
         if m == 0 or q == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
-
-        # choose tiles so q_tile * m_tile stays under max_bruteforce_pairs
-        m_tile = min(m, 1 << 16)
-        q_tile = max(256, min(self.max_query_points, self.max_bruteforce_pairs // m_tile))
-
-        dist_out = np.full((q,), np.inf, np.float32)
-        idx_out = np.zeros((q,), np.int64)
-        for ms in range(0, m, m_tile):
-            me = min(ms + m_tile, m)
-            mb = _bucket(me - ms)
-            refs = np.zeros((mb, d), np.float32)
-            refs[: me - ms] = coords_real_scaled[ms:me]
-            rvalid = np.zeros((mb,), bool)
-            rvalid[: me - ms] = True
-            refs_j = jnp.asarray(refs)
-            rvalid_j = jnp.asarray(rvalid)
-            for qs in range(0, q, q_tile):
-                qe = min(qs + q_tile, q)
-                qb = _bucket(qe - qs)
-                qq = np.zeros((qb, d), np.float32)
-                qq[: qe - qs] = coords_query_scaled[qs:qe]
-                dist, idx = _nn_tile_kernel(jnp.asarray(qq), refs_j, rvalid_j)
-                dist = np.asarray(dist)[: qe - qs]
-                idx = np.asarray(idx)[: qe - qs] + ms
-                better = dist < dist_out[qs:qe]
-                dist_out[qs:qe] = np.where(better, dist, dist_out[qs:qe])
-                idx_out[qs:qe] = np.where(better, idx, idx_out[qs:qe])
-        return dist_out, idx_out
+        return pallas_nn.nearest_neighbors(coords_query_scaled, coords_real_scaled)
 
     def _match_voxels_to_centroids(self, coords_real, coords_interpx):
         real_scaled = self._scale_coords(coords_real)
