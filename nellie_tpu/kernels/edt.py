@@ -64,11 +64,12 @@ def _dist_sq(coords, seed_coords, sampling):
     return d
 
 
-@partial(jax.jit, static_argnames=("sampling",))
+@partial(jax.jit, static_argnames=("sampling", "max_radius_px"))
 def nearest_seed(
     seed_labels: jnp.ndarray,
     obj_labels: Optional[jnp.ndarray] = None,
     sampling: Tuple[float, ...] = None,
+    max_radius_px: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-voxel nearest seed via JFA+1.
 
@@ -76,6 +77,11 @@ def nearest_seed(
     obj_labels  : optional int volume; a voxel only accepts seeds whose
                   object id (obj_labels at the seed) matches its own.
     sampling    : physical voxel size per axis (anisotropic metric).
+    max_radius_px : optional search radius bound in voxels — when the
+                  caller clamps distances anyway (Markers clamps at
+                  2*max_radius_px, ``mocap_marking.py:444-448``) the jump
+                  schedule only needs to cover that radius, halving the
+                  number of dense passes.
 
     Returns (labels, distances): the nearest seed's value (0 where no
     reachable seed) and the physical distance to it (+inf where none).
@@ -85,8 +91,10 @@ def nearest_seed(
     if sampling is None:
         sampling = (1.0,) * ndim
     offsets = _offsets(ndim)
-    max_dim = max(shape)
-    n_steps = max(1, int(math.ceil(math.log2(max_dim))))
+    reach = max(shape)
+    if max_radius_px is not None:
+        reach = min(reach, int(max_radius_px) + 1)
+    n_steps = max(1, int(math.ceil(math.log2(max(reach, 2)))))
     steps = [1 << (n_steps - 1 - i) for i in range(n_steps)] + [1]
 
     coords = _coords(shape)
@@ -136,10 +144,15 @@ def nearest_seed(
     return labels, dist
 
 
-@partial(jax.jit, static_argnames=("sampling",))
-def distance_transform(mask: jnp.ndarray, sampling: Tuple[float, ...] = None) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("sampling", "max_radius_px"))
+def distance_transform(mask: jnp.ndarray, sampling: Tuple[float, ...] = None,
+                       max_radius_px: Optional[int] = None) -> jnp.ndarray:
     """Distance from each True voxel to the nearest False voxel
-    (scipy.ndimage.distance_transform_edt semantics), via JFA+1."""
+    (scipy.ndimage.distance_transform_edt semantics), via JFA+1.
+
+    ``max_radius_px`` bounds the search (distances beyond it saturate at
+    >= max_radius_px, exact below it) for callers that clamp anyway."""
     seeds = jnp.where(~mask, 1, 0).astype(jnp.int32)
-    _, dist = nearest_seed(seeds, None, sampling)
+    _, dist = nearest_seed(seeds, None, sampling, max_radius_px)
+    dist = jnp.nan_to_num(dist, posinf=float(max(mask.shape)))
     return jnp.where(mask, dist, 0.0)

@@ -66,7 +66,8 @@ def markers_frame(intensity, mask, base_im, params: MarkerParams):
     a two-step call when use_im='distance' (see stage driver).
     """
     mask = mask.astype(bool)
-    distance = edt.distance_transform(mask)  # pixel units
+    clamp_px = int(params.max_radius_px * 2.0) + 1
+    distance = edt.distance_transform(mask, max_radius_px=clamp_px)  # pixel units
     distance = jnp.minimum(distance, params.max_radius_px * 2.0).astype(jnp.float32)
     border = binary_dilation(mask, connectivity=1) ^ mask
 
@@ -98,7 +99,8 @@ def markers_frame(intensity, mask, base_im, params: MarkerParams):
 def markers_frame_distance(intensity, mask, params: MarkerParams):
     """use_im='distance' variant: peak detection runs on the distance map."""
     mask = mask.astype(bool)
-    distance = edt.distance_transform(mask)
+    clamp_px = int(params.max_radius_px * 2.0) + 1
+    distance = edt.distance_transform(mask, max_radius_px=clamp_px)
     distance = jnp.minimum(distance, params.max_radius_px * 2.0).astype(jnp.float32)
     return markers_frame(intensity, mask, distance, params)
 
