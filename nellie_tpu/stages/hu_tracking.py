@@ -214,7 +214,16 @@ class HuMomentTracking:
         n_post, n_pre = frame_t.stats.shape[0], frame_prev.stats.shape[0]
         if n_post == 0 or n_pre == 0:
             return [], [], []
-        tile_rows = 8192 if not self.low_memory else 2048
+        # mode maps onto the row-tile size (tiled execution IS the dense
+        # semantics at any scale, so 'sparse' just means smaller tiles);
+        # 'auto' shrinks tiles when the pair count crosses max_dense_pairs
+        if self.mode == "dense":
+            tile_rows = max(n_post, 1)
+        elif self.mode == "sparse":
+            tile_rows = 1024
+        else:
+            too_big = n_post * n_pre > self.max_dense_pairs
+            tile_rows = 2048 if (too_big or self.low_memory) else 8192
         return matching.match_frames(
             frame_t.coords_phys, frame_prev.coords_phys,
             frame_t.stats, frame_prev.stats,

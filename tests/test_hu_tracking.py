@@ -137,3 +137,14 @@ def test_hu_tracking_stage_end_to_end(tmp_path):
     assert np.median(flow[:, 4]) == pytest.approx(0, abs=0.5)
     assert np.median(flow[:, 5]) == pytest.approx(2, abs=0.5)
     assert np.median(flow[:, 6]) == pytest.approx(0, abs=0.5)
+
+
+@pytest.mark.parametrize("mode", ["auto", "dense", "sparse"])
+def test_match_modes_agree(mode):
+    """mode only changes tiling; results must be identical."""
+    post, pre, s_post, s_pre, h_post, h_pre = _synthetic_frames(n=60, seed=9)
+    base = matching.match_frames(post, pre, s_post, s_pre, h_post, h_pre, 1.0)
+    tile = {"dense": 60, "sparse": 7, "auto": 8192}[mode]
+    out = matching.match_frames(post, pre, s_post, s_pre, h_post, h_pre, 1.0,
+                                tile_rows=tile)
+    assert sorted(zip(base[0], base[1])) == sorted(zip(out[0], out[1]))

@@ -96,3 +96,17 @@ def test_markers_2d(tmp_path):
     Markers(im_info).run()
     marker = np.asarray(im_info.get_memmap(im_info.pipeline_paths["im_marker"]))[0]
     assert marker.sum() >= 2  # one marker per blob at least
+
+
+def test_markers_use_im_frangi(marker_run):
+    """use_im='frangi': peak detection runs on the Frangi image."""
+    frangi = np.asarray(
+        marker_run.get_memmap(marker_run.pipeline_paths["im_instance_label"])
+    ).astype(np.float32)
+    marker_run.allocate_memory(marker_run.pipeline_paths["im_preprocessed"],
+                               dtype="float", data=frangi, description="frangi")
+    Markers(marker_run, use_im="frangi").run()
+    marker = np.asarray(marker_run.get_memmap(marker_run.pipeline_paths["im_marker"]))[0]
+    labels = np.asarray(marker_run.get_memmap(marker_run.pipeline_paths["im_instance_label"]))[0]
+    assert marker.sum() > 0
+    assert (marker.astype(bool) & ~(labels > 0)).sum() == 0
