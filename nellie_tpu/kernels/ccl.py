@@ -21,7 +21,6 @@ border (scipy ``binary_fill_holes`` semantics).
 from __future__ import annotations
 
 import itertools
-import math
 from functools import partial
 from typing import Tuple
 

@@ -29,10 +29,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
-
-from nellie_tpu.kernels.filters import shift_fill
 
 
 def _offsets(ndim: int):

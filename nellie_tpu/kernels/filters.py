@@ -19,11 +19,8 @@ Design notes
 """
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

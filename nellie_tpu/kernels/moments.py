@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from math import comb
 
-import jax
 import jax.numpy as jnp
 
 

@@ -4,12 +4,14 @@ Replaces ``skimage.morphology.skeletonize`` (used by the reference at
 ``networking.py:394-409``).  The reference's Lee-94 thinning deletes
 simple points sequentially; here deletion runs as a parallel fixpoint:
 
-* 3D: per iteration, sweep the 6 border directions; per direction,
-  candidates = border ∧ deletable (one 8 MiB LUT gather per voxel, see
-  ``nellie_tpu.kernels.simple_point``), then commit candidates over the
-  8 parity subfields with a "no 26-neighbour deleted earlier this pass"
-  guard — which makes the parallel pass equivalent to *some* sequential
-  order of simple-point deletions, hence topology-preserving.
+* 3D: per iteration, sweep the 6 border directions (Lee-style
+  subiterations: candidates fixed to the pass-start border layer so each
+  sweep peels one layer per direction); within a pass, simplicity is
+  re-checked as deletions land and conflict-free subsets commit in
+  parallel (see ``skeletonize_3d``).  The simple-point test is the exact
+  Bertrand–Malandain (26,6) characterisation, evaluated arithmetically
+  (gather-free VPU label propagation, ``_deletable_arith``) or via the
+  precomputed 8 MiB LUT (``nellie_tpu.kernels.simple_point``).
 * 2D: Zhang–Suen two-subiteration thinning (designed parallel-safe).
 
 Both are pure jitted functions: while_loop over dense masks, no
@@ -17,12 +19,13 @@ data-dependent shapes.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
-from nellie_tpu.kernels.filters import maximum_filter, shift_fill
+from nellie_tpu.kernels.filters import shift_fill
 from nellie_tpu.kernels.simple_point import OFFSETS_26, get_simple26_lut
 
 
@@ -140,9 +143,6 @@ def _deletable_arith(fg: jnp.ndarray, where=None) -> jnp.ndarray:
 
 
 _DIRECTIONS = ((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1))
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("backend",))

@@ -12,7 +12,6 @@ both thresholds return 0.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -14,7 +14,6 @@ same way).  Exact for any kernel whose receptive field <= halo.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -17,7 +17,7 @@ Mesh axes: ``t`` (data parallel over frames/files) x ``z`` (spatial).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -18,15 +18,12 @@ track builders used by the GUI and feature extraction.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from nellie_tpu.io.verifier import ImInfo
-from nellie_tpu.utils.base_logger import logger
 
 
 @jax.jit

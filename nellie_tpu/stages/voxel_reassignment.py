@@ -22,12 +22,7 @@ No-op for single-timepoint data.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 from nellie_tpu.io.verifier import ImInfo
 from nellie_tpu.stages.flow_interpolation import FlowInterpolator
