@@ -183,27 +183,34 @@ class Label:
         return max(int(size) // max(1, self.threshold_sampling_pixels), 1)
 
     def _compute_frame_thresholds(self, original_view, frangi_view):
-        """Per-frame intensity + Frangi thresholds (``labelling.py:511-532``)."""
-        frangi_flat = jnp.asarray(np.asarray(frangi_view).reshape(-1))
-        step = self._sample_step(frangi_flat.size)
+        """Per-frame intensity + Frangi thresholds (``labelling.py:511-532``).
+
+        The strided sample is taken host-side from the memmap so only
+        <= threshold_sampling_pixels values cross to the device."""
+        full = int(np.prod(frangi_view.shape))
+        step = self._sample_step(full)
+        frangi_sample = jnp.asarray(
+            np.ascontiguousarray(np.asarray(frangi_view).reshape(-1)[::step]))
 
         intensity_thresh = None
+        orig_sample = None
+        if self.otsu_thresh_intensity or self.threshold is not None:
+            orig_sample = jnp.asarray(np.ascontiguousarray(
+                np.asarray(original_view).reshape(-1)[::step])).astype(jnp.float32)
         if self.otsu_thresh_intensity:
-            orig_flat = jnp.asarray(np.asarray(original_view).reshape(-1))
-            thr, ok = _intensity_otsu_kernel(orig_flat, self.histogram_nbins, step)
+            thr, ok = _intensity_otsu_kernel(orig_sample, self.histogram_nbins, 1)
             intensity_thresh = float(thr) if bool(ok) else 0.0
         elif self.threshold is not None:
             intensity_thresh = float(self.threshold)
 
         if intensity_thresh is not None:
-            orig_flat = jnp.asarray(np.asarray(original_view).reshape(-1)).astype(jnp.float32)
             thr, ok = _frangi_threshold_kernel(
-                frangi_flat, orig_flat, jnp.float32(intensity_thresh),
-                self.histogram_nbins, step,
+                frangi_sample, orig_sample, jnp.float32(intensity_thresh),
+                self.histogram_nbins, 1,
             )
         else:
             thr, ok = _frangi_threshold_kernel(
-                frangi_flat, None, jnp.float32(0.0), self.histogram_nbins, step,
+                frangi_sample, None, jnp.float32(0.0), self.histogram_nbins, 1,
             )
         frangi_thresh = float(thr) if bool(ok) else None
         return intensity_thresh, frangi_thresh
