@@ -178,3 +178,38 @@ def test_filter_chunked_matches_full(tmp_path):
     # isn't expected — but fields must agree closely on this well-separated input
     agree = np.isclose(full, low, rtol=5e-2, atol=5e-3)
     assert agree.mean() > 0.95
+
+
+def test_log_blobness_2d_matches_numpy_model():
+    rng = np.random.default_rng(6)
+    frame = (500 * np.exp(-((np.mgrid[0:48, 0:48][0] - 24) ** 2 +
+                            (np.mgrid[0:48, 0:48][1] - 24) ** 2) / 20)
+             + rng.normal(50, 3, (48, 48))).astype(np.float32)
+    params = frangi_k.FrangiParams(sigmas=(1.0, 1.4), spacing=(0.1, 0.1))
+    mask = jnp.ones((48, 48), bool)
+    ours = np.asarray(frangi_k.log_blobness_2d(jnp.asarray(frame), mask, params))
+
+    # numpy model of filtering.py:772-795
+    lap = None
+    for s in params.sigmas:
+        cur = -ndi.gaussian_laplace(frame, (s, s)) * s**2
+        lap = cur if lap is None else np.maximum(lap, cur)
+    lap = np.maximum(lap, 0)
+    ref = lap / (lap.max() + 1e-12) / 10.0
+    np.testing.assert_allclose(ours, ref, rtol=1e-2, atol=1e-4)
+
+
+def test_finalize_frame_identity_on_empty():
+    empty = jnp.zeros((8, 16, 16), jnp.float32)
+    out = np.asarray(frangi_k.finalize_frame(empty))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_remove_edges_zeroes_bbox_margins():
+    frame = np.zeros((4, 64, 32), np.float32)
+    frame[:, 10:50, 5:25] = 1.0
+    out = np.asarray(frangi_k.remove_edges_frame(jnp.asarray(frame)))
+    # 15-row margins at the top and bottom of the nonzero bbox
+    assert (out[:, 10:25, :] == 0).all()
+    assert (out[:, 35:50, :] == 0).all()
+    assert (out[:, 27:33, 5:25] == 1.0).all()
