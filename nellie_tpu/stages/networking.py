@@ -170,6 +170,7 @@ class Network:
         self.skel_memmap = None
         self.skel_relabelled_memmap = None
         self.viewer = viewer
+        self.sigmas = None
 
     def _get_t(self):
         if self.num_t is None:
@@ -213,6 +214,42 @@ class Network:
             np.asarray(pixel_class),
             np.asarray(branch_labels, dtype=np.uint32),
         )
+
+    def _get_sigma_vec(self, sigma):
+        if self.im_info.no_z:
+            return (sigma, sigma)
+        return (sigma / self.z_ratio, sigma, sigma)
+
+    def _set_default_sigmas(self):
+        """Same radius->sigma ladder as Filter/Markers
+        (reference ``networking.py:463-480``)."""
+        min_sigma_step_size = 0.2
+        num_sigma = 5
+        self.sigma_min = self.min_radius_px / 2
+        self.sigma_max = self.max_radius_px / 3
+        step = max(min_sigma_step_size, (self.sigma_max - self.sigma_min) / num_sigma)
+        self.sigmas = np.arange(self.sigma_min, self.sigma_max, step).tolist()
+
+    def _local_max_peak(self, frame, mask):
+        """Multiscale LoG peak coordinates (reference ``networking.py:582-629``;
+        like the reference, not used by the main frame path — Markers owns
+        peak detection)."""
+        from nellie_tpu.kernels.filters import gaussian_laplace, maximum_filter
+
+        if self.sigmas is None:
+            self._set_default_sigmas()
+        frame = jnp.asarray(np.ascontiguousarray(frame), jnp.float32)
+        maskv = jnp.asarray(np.ascontiguousarray(mask)).astype(bool)
+        best = jnp.zeros(frame.shape, jnp.float32)
+        peaks = jnp.zeros(frame.shape, bool)
+        for s in self.sigmas:
+            cur = -gaussian_laplace(frame, self._get_sigma_vec(float(s))) * float(s) ** 2
+            cur = jnp.maximum(cur * maskv, 0.0)
+            local_max = (cur == maximum_filter(cur, 3)) & maskv
+            better = local_max & (cur > best) & (cur > 0)
+            peaks = peaks | better
+            best = jnp.where(better, cur, best)
+        return np.argwhere(np.asarray(peaks))
 
     def _clean_junctions(self, pixel_class):
         """Collapse each junction cluster to its centroid-nearest voxel,

@@ -139,3 +139,18 @@ def test_clean_junctions_collapses_clusters():
     out = net._clean_junctions(pc)
     assert (out == 4).sum() == 1
     assert (out == 3).sum() == (pc == 3).sum() + 2
+
+
+def test_local_max_peak_helper(tmp_path):
+    z, y, x = np.mgrid[0:10, 0:24, 0:24]
+    blob = 500 * np.exp(-(((z - 5) ** 2) + (y - 12) ** 2 + (x - 12) ** 2) / 8.0)
+    labels = (blob > 50).astype(np.int32)
+    im_info = _make_run(tmp_path, (blob[None] + 100).astype(np.uint16),
+                        (labels[None]).astype(np.float32), labels[None],
+                        {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": None}, "TZYX")
+    net = Network(im_info)
+    peaks = net._local_max_peak(blob, labels > 0)
+    assert len(peaks) >= 1
+    # the dominant peak is at the blob center
+    d = np.linalg.norm(peaks - np.array([5, 12, 12]), axis=1)
+    assert d.min() <= 2
