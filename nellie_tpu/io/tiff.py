@@ -669,6 +669,10 @@ def imwrite(
         description = ome_mod.build_ome_xml(axes, shape, dtype.name, dim_res=dim_res)
 
     desc_bytes = description.encode("utf-8") + b"\x00"
+    # the ImageDescription tag always stores an offset; BigTIFF readers
+    # treat counts <= 8 as inline values, so keep the payload > 8 bytes
+    if len(desc_bytes) <= 8:
+        desc_bytes = desc_bytes.ljust(9, b"\x00")
     desc_cap = max(_DESC_MIN_CAPACITY, 2 * len(desc_bytes))
 
     # ---- layout: header | description area | IFDs | pixel data ----

@@ -144,3 +144,11 @@ def test_big_endian_classic_tiff(tmp_path, rng):
 
     back = tiff.imread(path)
     np.testing.assert_array_equal(back.astype(np.uint16), data)
+
+
+def test_tiny_description_roundtrip(tmp_path):
+    data = np.zeros((4, 5), np.uint8)
+    path = tmp_path / "tiny.tif"
+    tiff.imwrite(path, data, description="hi")
+    assert tiff.tiffcomment(path).rstrip("\x00") == "hi"
+    np.testing.assert_array_equal(tiff.imread(path), data)
