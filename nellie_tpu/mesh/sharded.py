@@ -2,15 +2,15 @@
 
 Design: the per-frame kernels in ``nellie_tpu.kernels`` are pure dense
 XLA programs (stencils as pad+shift sums, thresholds as scatter-add
-histograms, CCL as gather/scatter fixpoints).  Annotating their inputs
-with a ``NamedSharding`` lets XLA GSPMD partition them over the mesh:
+histograms, CCL as a segmented-min-scan fixpoint).  Annotating their
+inputs with a ``NamedSharding`` lets XLA GSPMD partition them over the
+mesh:
 
 * stencils  -> neighbour halo exchange over ICI (``ppermute`` under the
   hood), with halo = kernel radius per axis
 * reductions (min/max/histogram/percentile) -> ``all-reduce``
-* CCL pointer jumping -> all-to-all gathers (correct; optimisation of
-  the distributed union-find into tile-local CC + boundary merges is a
-  later-round item)
+* CCL segmented scans -> per-shard scans + cross-shard carry exchange
+  (associative_scan partitions cleanly; no gathers anywhere)
 
 Mesh axes: ``t`` (data parallel over frames/files) x ``z`` (spatial).
 """
@@ -41,6 +41,29 @@ def make_mesh(n_devices: Optional[int] = None, t_axis: int = 1) -> Mesh:
         t_axis = 1
     grid = devices.reshape(t_axis, n_devices // t_axis)
     return Mesh(grid, ("t", "z"))
+
+
+def frame_sharding(mesh: Mesh, shape=None) -> NamedSharding:
+    """Sharding for one (Z,Y,X) / (Y,X) frame over the mesh's "z" axis.
+
+    Picks the first spatial axis whose extent divides the mesh's "z"
+    size (Z first, then Y, X); if no axis divides — or no shape is
+    given and P("z") would fail — falls back to full replication,
+    which is still correct, just unsharded.  Used by the Filter/Label
+    stages' ``mesh=`` path (pipeline/run.py)."""
+    if "z" not in mesh.shape:
+        raise ValueError(
+            f"mesh must have a 'z' axis (got axes {tuple(mesh.shape)}); "
+            "build one with nellie_tpu.mesh.make_mesh()")
+    n = mesh.shape["z"]
+    if shape is not None:
+        for axis, extent in enumerate(shape):
+            if extent % n == 0:
+                spec = [None] * len(shape)
+                spec[axis] = "z"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P("z"))
 
 
 def shard_volume(volume: jnp.ndarray, mesh: Mesh, batched: bool = False):

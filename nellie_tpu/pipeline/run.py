@@ -31,8 +31,14 @@ def run(
     low_memory=False,
     skip_nodes=False,
     return_timings=False,
+    mesh=None,
 ):
     """Run the full pipeline on a prepared :class:`FileInfo`.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``"z"`` axis — the
+    per-frame Filter and Label kernels are then GSPMD-sharded over its
+    spatial axis (multi-chip; see ``nellie_tpu.mesh``).  Results match
+    single-device execution to float-reassociation tolerance (~1e-6).
 
     Returns the :class:`ImInfo` (and per-stage timings dict if
     ``return_timings``).
@@ -46,9 +52,10 @@ def run(
         timings[name] = time.perf_counter() - start
 
     timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
-                           low_memory=low_memory))
+                           low_memory=low_memory, mesh=mesh))
     timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
-                         threshold=threshold, device=device, low_memory=low_memory))
+                         threshold=threshold, device=device, low_memory=low_memory,
+                         mesh=mesh))
     timed("network", Network(im_info, device=device))
     timed("markers", Markers(im_info, device=device))
     timed("tracking", HuMomentTracking(im_info, device=device, low_memory=low_memory))

@@ -47,9 +47,16 @@ class Filter:
         low_memory: bool = False,
         max_chunk_voxels: int = int(1e6),
         max_threshold_samples: int = int(1e6),
+        mesh=None,
     ):
         self.im_info = im_info
         self.device = device
+        # optional jax.sharding.Mesh with a "z" axis: frames are placed
+        # with NamedSharding(mesh, P("z")) so GSPMD partitions the jitted
+        # Frangi kernel over the leading spatial axis (halo exchange over
+        # ICI); results match single-device to float-reassociation
+        # tolerance (~1e-6, tested)
+        self.mesh = mesh
         self.truncate = 3.0
         if not self.im_info.no_z:
             z_res = self.im_info.dim_res.get("Z") or self.im_info.dim_res.get("X") or 1.0
@@ -152,13 +159,25 @@ class Filter:
             return jax.devices("cpu")[0]
         return jax.devices()[0]
 
+    def _frame_placement(self, shape=None):
+        """Single device, or a NamedSharding over self.mesh (the §2.4 SP
+        analog: one spatial axis sharded over the mesh's "z" axis).
+
+        The sharded axis is the first one divisible by the mesh extent
+        (Z first, then Y/X); if none divides, the frame is replicated —
+        still correct, just unsharded."""
+        if self.mesh is not None:
+            from nellie_tpu.mesh.sharded import frame_sharding
+            return frame_sharding(self.mesh, shape)
+        return self._frame_device()
+
     def _run_frame(self, t, mask=True):
         logger.info(f"Running Frangi filter on t={t}.")
         frame_cpu = np.asarray(self.im_memmap[t, ...])
         if self._active_low_memory:
             return self._run_frame_chunked(frame_cpu, mask=mask)
-        dev = self._frame_device()
-        frame = jax.device_put(frame_cpu.astype(np.float32), dev)
+        frame = jax.device_put(
+            frame_cpu.astype(np.float32), self._frame_placement(frame_cpu.shape))
         vessel, masks = frangi_k.vesselness_frame(frame, self._params, apply_mask=mask)
         if self.im_info.no_z:
             blob = frangi_k.log_blobness_2d(frame, masks, self._params)

@@ -96,9 +96,16 @@ class Label:
                  histogram_nbins=256,
                  device="auto",
                  low_memory: bool = False,
-                 max_chunk_voxels: int = int(1e6)):
+                 max_chunk_voxels: int = int(1e6),
+                 mesh=None):
         self.im_info = im_info
         self.device = device
+        # optional jax.sharding.Mesh with a "z" axis: frames are placed
+        # with NamedSharding(mesh, P("z")) so GSPMD partitions the jitted
+        # label kernel (thresholding, hole fill, CC fixpoint) over the
+        # leading spatial axis; matches single-device to float-
+        # reassociation tolerance (tested)
+        self.mesh = mesh
         self.num_t = num_t
         if num_t is None and not self.im_info.no_t:
             self.num_t = im_info.shape[im_info.axes.index("T")]
@@ -216,13 +223,27 @@ class Label:
         return intensity_thresh, frangi_thresh
 
     # -- per-frame ----------------------------------------------------------
+    def _frame_placement(self, shape):
+        """Sharded placement over self.mesh when given, else None
+        (default device) — lets GSPMD shard the frame kernel."""
+        if self.mesh is None:
+            return None
+        from nellie_tpu.mesh.sharded import frame_sharding
+        return frame_sharding(self.mesh, shape)
+
     def _label_volume(self, original, frangi, intensity_thresh, frangi_thresh, fill):
         if frangi_thresh is None:
             return np.zeros(frangi.shape, np.int32)
         use_intensity = intensity_thresh is not None
+        placement = self._frame_placement(frangi.shape)
+
+        def put(arr):
+            a = jnp.asarray(np.ascontiguousarray(arr), dtype=jnp.float32)
+            return a if placement is None else jax.device_put(a, placement)
+
         labels = _label_frame_kernel(
-            jnp.asarray(np.ascontiguousarray(frangi), dtype=jnp.float32),
-            jnp.asarray(np.ascontiguousarray(original), dtype=jnp.float32),
+            put(frangi),
+            put(original),
             jnp.float32(intensity_thresh if use_intensity else 0.0),
             jnp.float32(frangi_thresh),
             self.min_area_pixels, fill, use_intensity,

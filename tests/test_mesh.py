@@ -42,3 +42,32 @@ def test_sharded_segment_step_batch():
     assert (labels > 0).any()
     # frames are near-identical content; label counts should match
     assert int(counts[0]) >= 1 and int(counts[1]) >= 1
+
+
+def test_filter_label_stages_with_mesh(tmp_path):
+    """run(mesh=...) shards the Filter/Label frame kernels over an
+    8-device mesh and produces artifacts identical to single-device."""
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.stages.filtering import Filter
+    from nellie_tpu.stages.labelling import Label
+
+    def _segment(out_dir, mesh):
+        sub = tmp_path / out_dir
+        sub.mkdir()
+        fi = _make_input(sub, n_t=1)
+        im_info = ImInfo(fi)
+        Filter(im_info, mesh=mesh).run()
+        Label(im_info, mesh=mesh).run()
+        frangi = np.asarray(im_info.get_memmap(im_info.pipeline_paths["im_preprocessed"]))
+        labels = np.asarray(im_info.get_memmap(im_info.pipeline_paths["im_instance_label"]))
+        return frangi, labels
+
+    f_single, l_single = _segment("single", None)
+    f_mesh, l_mesh = _segment("meshed", make_mesh(8, t_axis=1))
+    # sharded reductions reassociate floats -> tiny (~1e-6) frangi drift
+    np.testing.assert_allclose(f_single, f_mesh, atol=1e-5, rtol=1e-3)
+    fg_s, fg_m = l_single > 0, l_mesh > 0
+    iou = (fg_s & fg_m).sum() / max(1, (fg_s | fg_m).sum())
+    assert iou > 0.999
+    assert l_single.max() == l_mesh.max()  # same component count
