@@ -142,31 +142,61 @@ def label(mask: jnp.ndarray, connectivity: str = "full") -> Tuple[jnp.ndarray, j
     return labels.reshape(mask.shape), rank[-1]
 
 
+def _segmented_or_scan(reached: jnp.ndarray, maskv: jnp.ndarray, axis: int,
+                       reverse: bool) -> jnp.ndarray:
+    """Has any position in the contiguous ``maskv`` run ending here been
+    reached?  Same segmented-scan structure as ``_segmented_min_scan``
+    but over bools — half the bandwidth, no sentinel arithmetic."""
+    reset = ~maskv
+
+    def combine(a, b):
+        ar, av = a
+        br, bv = b
+        return ar | br, jnp.where(br, bv, av | bv)
+
+    _, out = lax.associative_scan(
+        combine, (reset, reached & maskv), axis=axis, reverse=reverse)
+    return out & maskv
+
+
 @jax.jit
 def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
     """Fill background regions not connected to the volume border
-    (scipy.ndimage.binary_fill_holes with the default cross structure)."""
+    (scipy.ndimage.binary_fill_holes with the default cross structure).
+
+    Border-reachability flood over the background as a fixpoint of
+    segmented OR-scans (a whole straight bg run floods in one log-depth
+    pass) + face-neighbour OR — a pure boolean analogue of
+    ``union_find_roots`` with no root ranking, scatter, or gather.
+    Voxels never reached from the border are holes."""
     bg = ~mask
-    n = int(np.prod(mask.shape))
-    roots = union_find_roots(bg, "faces")
+    ndim = mask.ndim
 
     border = jnp.zeros(mask.shape, dtype=bool)
-    for axis in range(mask.ndim):
-        sl_lo = [slice(None)] * mask.ndim
+    for axis in range(ndim):
+        sl_lo = [slice(None)] * ndim
         sl_lo[axis] = slice(0, 1)
-        sl_hi = [slice(None)] * mask.ndim
+        sl_hi = [slice(None)] * ndim
         sl_hi[axis] = slice(-1, None)
         border = border.at[tuple(sl_lo)].set(True)
         border = border.at[tuple(sl_hi)].set(True)
 
-    bg_flat = bg.reshape(-1)
-    border_bg = (border.reshape(-1)) & bg_flat
-    # scatter-or: does each root touch the border?
-    reach = jnp.zeros((n + 1,), dtype=bool)
-    tgt = jnp.where(border_bg, roots, n)
-    reach = reach.at[tgt].max(border_bg)
-    outside = bg_flat & reach[roots]
-    return (~outside).reshape(mask.shape)
+    offsets = neighbor_offsets(ndim, "faces")
+
+    def body(state):
+        r, _ = state
+        new = r
+        for axis in range(ndim):
+            new = _segmented_or_scan(new, bg, axis, False)
+            new = new | _segmented_or_scan(new, bg, axis, True)
+        for off in offsets:
+            new = new | _shift_nd(new, off, False)
+        new = new & bg
+        return new, jnp.any(new != r)
+
+    reached, _ = lax.while_loop(
+        lambda s: s[1], body, (border & bg, jnp.bool_(True)))
+    return ~reached
 
 
 @jax.jit
