@@ -87,6 +87,29 @@ def _segmented_min_scan(values: jnp.ndarray, maskv: jnp.ndarray, axis: int,
     return jnp.where(maskv, out, sentinel)
 
 
+def _encoded_scan_keys(shape, reset_u32, value_bits):
+    """Per (axis, direction) scan keys for the single-array encoding, or
+    None if ``value_bits + run-id bits`` overflows 32 for some axis.
+
+    Encoding: ``enc = ((axis_len + 1 - run_id) << value_bits) | value``
+    where run_id = inclusive cumsum of segment resets along the scan
+    direction.  Earlier runs get strictly larger keys, so a plain
+    min-scan of ``enc`` never leaks values across a background gap —
+    the (reset, value) pair monoid collapses to ``jnp.minimum`` on one
+    uint32 array (≈1.3x on the fixpoint).  Keys depend only on the
+    mask, so they are computed once outside the while loop."""
+    import math
+
+    keys = {}
+    for axis in range(len(shape)):
+        if value_bits + math.ceil(math.log2(shape[axis] + 2)) > 32:
+            return None
+        for rev in (False, True):
+            rid = lax.cumsum(reset_u32, axis=axis, reverse=rev)
+            keys[(axis, rev)] = (jnp.uint32(shape[axis] + 1) - rid) << value_bits
+    return keys
+
+
 @partial(jax.jit, static_argnames=("connectivity",))
 def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarray:
     """Per-voxel root (min linear index of its component), n for background.
@@ -97,30 +120,49 @@ def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarr
     stencil hops it across bends/diagonals — no gathers or scatters,
     which TPUs execute poorly.  Converges in O(#bends) passes.
 
+    When ``log2(n) + log2(max axis)`` fits 32 bits the scan runs on a
+    single run-id-keyed uint32 array (see ``_encoded_scan_keys``);
+    otherwise it falls back to the (reset, value) pair monoid.
+
     Returns a flat int32 array of length n (= mask.size).
     """
+    import math
+
     shape = mask.shape
     n = int(np.prod(shape))
     offsets = neighbor_offsets(mask.ndim, connectivity)
-    sentinel = jnp.int32(n)
-
     fg = mask
-    lbl0 = jnp.where(fg, jnp.arange(n, dtype=jnp.int32).reshape(shape), sentinel)
 
-    def cond(state):
-        return state[1]
+    value_bits = max(1, math.ceil(math.log2(n + 1)))
+    keys = _encoded_scan_keys(shape, (~fg).astype(jnp.uint32), value_bits)
+
+    if keys is not None:
+        sentinel = jnp.uint32(n)
+        vmask = jnp.uint32((1 << value_bits) - 1)
+        lbl0 = jnp.where(fg, jnp.arange(n, dtype=jnp.uint32).reshape(shape), sentinel)
+
+        def scan1(vals, axis, rev):
+            out = lax.associative_scan(
+                jnp.minimum, keys[(axis, rev)] | vals, axis=axis, reverse=rev)
+            return jnp.where(fg, out & vmask, sentinel)
+    else:
+        sentinel = jnp.int32(n)
+        lbl0 = jnp.where(fg, jnp.arange(n, dtype=jnp.int32).reshape(shape), sentinel)
+
+        def scan1(vals, axis, rev):
+            return _segmented_min_scan(vals, fg, axis, rev, sentinel)
 
     def body(state):
         lbl, _ = state
         new = lbl
         for axis in range(mask.ndim):
-            new = _segmented_min_scan(new, fg, axis, False, sentinel)
-            new = _segmented_min_scan(new, fg, axis, True, sentinel)
+            new = scan1(new, axis, False)
+            new = scan1(new, axis, True)
         new = _neighbor_min(new, fg, offsets, sentinel)
         return new, jnp.any(new != lbl)
 
-    lbl, _ = lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
-    return lbl.reshape(-1)
+    lbl, _ = lax.while_loop(lambda s: s[1], body, (lbl0, jnp.bool_(True)))
+    return lbl.reshape(-1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("connectivity",))

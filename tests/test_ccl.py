@@ -74,3 +74,14 @@ def test_remove_small_components(rng):
     out = np.asarray(ccl.remove_small_components(jnp.asarray(mask), 10))
     assert not out[1:3, 1:3].any()
     assert out[10:18, 10:18].all()
+
+
+def test_union_find_pair_monoid_fallback(monkeypatch):
+    """Volumes too large for the uint32 run-id encoding fall back to the
+    (reset, value) pair monoid — force that path and check parity."""
+    rng = np.random.default_rng(11)
+    mask = rng.random((6, 17, 13)) > 0.6
+    want = np.asarray(ccl.union_find_roots(jnp.asarray(mask), "full"))
+    monkeypatch.setattr(ccl, "_encoded_scan_keys", lambda *a, **k: None)
+    got = np.asarray(ccl.union_find_roots.__wrapped__(jnp.asarray(mask), "full"))
+    np.testing.assert_array_equal(got, want)
