@@ -32,8 +32,8 @@ from jax import lax
 from nellie_tpu.kernels.filters import shift_fill
 
 # stencil hops per fixpoint round in union_find_roots (see body comment);
-# 32 sits just below the measured knee (~48) with no small-mask downside
-STENCIL_HOPS_PER_ROUND = 32
+# 48 is the measured knee on tube geometry, with no small-mask downside
+STENCIL_HOPS_PER_ROUND = 48
 
 
 def _stencil_hops() -> int:
@@ -42,7 +42,7 @@ def _stencil_hops() -> int:
     On TPU the segmented scans dominate a round, so many cheap 1-voxel
     stencil hops per round pay for themselves by cutting scan rounds
     (18 -> 6 rounds, 2.1x, at 64x256x256).  On CPU/GPU scans are cheap
-    relative to 32 full-volume sweeps, so a single hop is right."""
+    relative to dozens of full-volume sweeps, so a single hop is right."""
     return STENCIL_HOPS_PER_ROUND if jax.default_backend() in ("tpu", "axon") else 1
 
 
@@ -267,9 +267,17 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
         for axis in range(ndim):
             new = _segmented_or_scan(new, bg, axis, False)
             new = new | _segmented_or_scan(new, bg, axis, True)
-        for off in offsets:
-            new = new | _shift_nd(new, off, False)
-        new = new & bg
+        # multi-hop dilation between scan rounds (same schedule rationale
+        # as union_find_roots).  Each hop must be SYNCHRONOUS — all six
+        # shifts taken from the same bg-masked base — otherwise a value
+        # shifted onto a foreground voxel by one offset gets re-shifted
+        # by the next, i.e. reachability tunnels diagonally through
+        # foreground corners, which face connectivity forbids.
+        for _hop in range(_stencil_hops()):
+            base = new
+            for off in offsets:
+                new = new | _shift_nd(base, off, False)
+            new = new & bg
         return new, jnp.any(new != r)
 
     reached, _ = lax.while_loop(

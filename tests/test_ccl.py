@@ -85,3 +85,23 @@ def test_union_find_pair_monoid_fallback(monkeypatch):
     monkeypatch.setattr(ccl, "_encoded_scan_keys", lambda *a, **k: None)
     got = np.asarray(ccl.union_find_roots.__wrapped__(jnp.asarray(mask), "full"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fill_holes_staircase_wall_no_diagonal_tunnel():
+    """A cavity sealed by a 1-thick *staircase* wall: face-connectivity
+    background flood must NOT tunnel diagonally through wall corners
+    (regression: sequential shift accumulation let reachability cross
+    two offsets in one round and marked the cavity as outside)."""
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(5)
+    z, y, x = np.mgrid[0:24, 0:48, 0:48]
+    # curved tube shell (staircase in discretization) with hollow core
+    r2 = (y - 24 - 6*np.sin(x / 7.0))**2 + (z - 12 + 3*np.cos(x / 5.0))**2
+    mask = (r2 < 64) & (r2 > 9)          # hollow curved tube, open ends
+    mask[:, :, :2] = False               # keep ends open in x
+    mask[:, :, -2:] = False
+    mask |= rng.random(mask.shape) > 0.97
+    got = np.asarray(ccl.fill_holes(jnp.asarray(mask)))
+    want = ndi.binary_fill_holes(mask)
+    np.testing.assert_array_equal(got, want)
