@@ -137,12 +137,20 @@ def main():
     compile_s = time.perf_counter() - t_compile0
     print(f"[bench] compile+first-run: {compile_s:.1f}s on {dev.platform}", file=sys.stderr)
 
-    # steady state
-    reps = 3
+    # steady state — dispatch all reps back-to-back and fence once at the
+    # end (frames pipeline in production; per-rep fencing would measure
+    # the tunnel's dispatch latency, not throughput)
+    @jax.jit
+    def _digest(vessel, labels, n):
+        return jnp.sum(vessel) + jnp.max(labels).astype(jnp.float32) + n
+
+    reps = 6
+    digests = []
     t0 = time.perf_counter()
     for _ in range(reps):
         vessel, labels, n = _segment_step(frame_dev, params, min_area)
-        sink += float(jnp.sum(vessel)) + float(jnp.max(labels))
+        digests.append(_digest(vessel, labels, n))
+    sink += sum(float(d) for d in digests)
     per_frame = (time.perf_counter() - t0) / reps
     vox_per_sec = n_vox / per_frame
     print(f"[bench] steady-state: {per_frame:.3f}s/frame, {vox_per_sec:,.0f} vox/s, "

@@ -142,22 +142,89 @@ def _deletable_arith(fg: jnp.ndarray, where=None) -> jnp.ndarray:
     return cond1 & cond2 & (n_fg > 1) & sel
 
 
+def _neighborhood_masks():
+    """Static bitmask tables for the packed simple-point test."""
+    from nellie_tpu.kernels.simple_point import (
+        adjacency_26,
+        adjacency_6_within_18,
+        face_cells,
+        n18_cells,
+    )
+
+    adj26 = tuple(sum(1 << j for j in nbrs) for nbrs in adjacency_26())
+    cells18 = tuple(n18_cells())
+    adj6 = adjacency_6_within_18()
+    adj6_masks = tuple((c, sum(1 << j for j in adj6[c])) for c in cells18)
+    n18_mask = sum(1 << c for c in cells18)
+    face_mask = sum(1 << c for c in face_cells())
+    return adj26, adj6_masks, n18_mask, face_mask
+
+
+_ADJ26_MASKS, _ADJ6_MASKS, _N18_MASK, _FACE_MASK = _neighborhood_masks()
+
+
+def _flood_bits(occ: jnp.ndarray, start: jnp.ndarray, adj_masks) -> jnp.ndarray:
+    """Per-voxel set flood over a static cell graph, all 26 cells packed in
+    ONE int32 plane: reach grows by the union of adjacency masks of every
+    reached bit (scalar constants), clipped to occupied cells, to fixpoint.
+    """
+    def step(state):
+        reach, _ = state
+        grow = reach
+        for k, m in adj_masks:
+            grow = grow | jnp.where((reach >> k) & 1 != 0, jnp.int32(m), 0)
+        new = grow & occ
+        return new, jnp.any(new != reach)
+
+    reach, _ = lax.while_loop(lambda s: s[1], step, (start, jnp.bool_(True)))
+    return reach
+
+
+def _deletable_packed(fg: jnp.ndarray, where=None) -> jnp.ndarray:
+    """Bertrand–Malandain (26,6) simple-point test on bit-packed
+    neighbourhoods: each voxel's 26 occupancies live in one int32, and
+    "exactly one component" becomes "flood from the lowest set bit covers
+    every (face) bit" — two int32 planes of state instead of the 26 int8
+    label planes of ``_deletable_arith``, ~4x less HBM traffic."""
+    sel = fg if where is None else (fg & where)
+    occ_full = _pack26(fg)
+
+    # condition 1: one 26-connected component among occupied cells
+    occ = jnp.where(sel, occ_full, 0)
+    start1 = occ & (-occ)  # lowest occupied cell
+    reach1 = _flood_bits(occ, start1, tuple(enumerate(_ADJ26_MASKS)))
+    cond1 = (occ != 0) & (reach1 == occ)
+    multi_fg = (occ & (occ - 1)) != 0  # not endpoint / isolated
+
+    # condition 2: one 6-connected bg component in N18 touching a face
+    bg = jnp.where(sel, (~occ_full) & _N18_MASK, 0)
+    bg_face = bg & _FACE_MASK
+    start2 = bg_face & (-bg_face)
+    reach2 = _flood_bits(bg, start2, _ADJ6_MASKS)
+    cond2 = (bg_face != 0) & ((bg_face & ~reach2) == 0)
+
+    return cond1 & cond2 & multi_fg & sel
+
+
 _DIRECTIONS = ((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1))
 
 
 @partial(jax.jit, static_argnames=("backend",))
-def skeletonize_3d(mask: jnp.ndarray, backend: str = "arith") -> jnp.ndarray:
+def skeletonize_3d(mask: jnp.ndarray, backend: str = "packed") -> jnp.ndarray:
     """3D curve thinning; preserves 26-connectivity of fg and 6-topology.
 
-    backend='arith' (default) evaluates the simple-point test
-    arithmetically (pure VPU elementwise label propagation, no gathers —
-    3.6x faster on TPU); backend='lut' gathers from the precomputed 8 MiB
-    table.  Both produce identical results (tested)."""
+    backend='packed' (default) evaluates the simple-point test on
+    bit-packed neighbourhoods (one int32 plane of flood state — fastest);
+    'arith' propagates int8 labels over 26 planes; 'lut' gathers from the
+    precomputed 8 MiB table.  All three produce identical results
+    (tested in test_skeleton_backends.py)."""
     if backend == "lut":
         lut = jnp.asarray(get_simple26_lut())
         deletable = lambda cur, where: _deletable(cur, lut, where=where)  # noqa: E731
-    else:
+    elif backend == "arith":
         deletable = lambda cur, where: _deletable_arith(cur, where=where)  # noqa: E731
+    else:
+        deletable = lambda cur, where: _deletable_packed(cur, where=where)  # noqa: E731
     iz = lax.broadcasted_iota(jnp.int32, mask.shape, 0)
     iy = lax.broadcasted_iota(jnp.int32, mask.shape, 1)
     ix = lax.broadcasted_iota(jnp.int32, mask.shape, 2)

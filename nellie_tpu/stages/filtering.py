@@ -25,7 +25,76 @@ from nellie_tpu.io.verifier import ImInfo
 from nellie_tpu.kernels import frangi as frangi_k
 from nellie_tpu.utils import adaptive_run
 from nellie_tpu.utils.base_logger import logger
-from nellie_tpu.utils.chunking import iter_chunks, compute_chunk_shape
+from nellie_tpu.utils.chunking import (
+    compute_chunk_shape,
+    crop_core as _crop_core,
+    iter_uniform_windows,
+    uniform_window_shapes,
+)
+
+
+def _shift_bool(mask, axis, o):
+    out = np.zeros_like(mask)
+    src = [slice(None)] * mask.ndim
+    dst = [slice(None)] * mask.ndim
+    if o > 0:
+        src[axis] = slice(o, None)
+        dst[axis] = slice(None, -o)
+    else:
+        src[axis] = slice(None, o)
+        dst[axis] = slice(-o, None)
+    out[tuple(dst)] = mask[tuple(src)]
+    return out
+
+
+def _binary_opening_host(mask):
+    """numpy mirror of kernels.filters.binary_opening (cross structure,
+    border erodes) for frames that never fit on device."""
+    er = mask.copy()
+    for axis in range(mask.ndim):
+        for o in (1, -1):
+            er &= _shift_bool(mask, axis, o)
+    dil = er.copy()
+    for axis in range(mask.ndim):
+        for o in (1, -1):
+            dil |= _shift_bool(er, axis, o)
+    return dil
+
+
+def _finalize_host(frangi: np.ndarray, max_samples: int) -> np.ndarray:
+    """Host mirror of frangi_k.finalize_frame (percentile-1 mask + binary
+    opening, ``filtering.py:952-967``) — the chunked path keeps the
+    assembled frame on host, so finalizing here avoids re-uploading the
+    whole volume over the (slow) host<->device link."""
+    if frangi.sum() <= 0:
+        return frangi
+    from nellie_tpu.kernels.thresholds import sample_strides
+
+    strides = sample_strides(frangi.shape, max_samples)
+    sample = frangi[tuple(slice(None, None, s) for s in strides)]
+    pos_vals = sample[sample > 0]
+    if pos_vals.size == 0:
+        return frangi
+    thr = np.percentile(pos_vals.astype(np.float64), 1.0)
+    mask = frangi > thr
+    mask = _binary_opening_host(mask)
+    return frangi * mask
+
+
+def _remove_edges_host(frangi: np.ndarray) -> np.ndarray:
+    """Host mirror of frangi_k.remove_edges_frame (15-row margin per
+    Z-slice nonzero bbox, ``filtering.py:969-1000``)."""
+    x = frangi if frangi.ndim == 3 else frangi[None]
+    out = x.copy()
+    for z in range(x.shape[0]):
+        rows = np.nonzero((x[z] != 0).any(axis=1))[0]
+        if rows.size == 0:
+            continue
+        rmin, rmax = rows[0], rows[-1]
+        margin = min(15, rmax - rmin + 1)
+        out[z, rmin:rmin + margin] = 0
+        out[z, rmax - margin + 1:rmax + 1] = 0
+    return out if frangi.ndim == 3 else out[0]
 
 
 class Filter:
@@ -176,8 +245,10 @@ class Filter:
         frame_cpu = np.asarray(self.im_memmap[t, ...])
         if self._active_low_memory:
             return self._run_frame_chunked(frame_cpu, mask=mask)
+        # upload in the raw dtype (uint16 halves tunnel traffic); the
+        # kernel casts to float32 on device
         frame = jax.device_put(
-            frame_cpu.astype(np.float32), self._frame_placement(frame_cpu.shape))
+            np.ascontiguousarray(frame_cpu), self._frame_placement(frame_cpu.shape))
         vessel, masks = frangi_k.vesselness_frame(frame, self._params, apply_mask=mask)
         if self.im_info.no_z:
             blob = frangi_k.log_blobness_2d(frame, masks, self._params)
@@ -188,7 +259,16 @@ class Filter:
 
     def _run_frame_chunked(self, frame_cpu, mask=True, max_chunk_voxels=None):
         """Halo-padded spatial chunking for frames too large for HBM
-        (reference ``filtering.py:855-908``)."""
+        (reference ``filtering.py:855-908``), pipelined:
+
+        * every window has ONE static extended shape (uniform shifted
+          windows), so the whole frame runs under a single XLA program —
+          the round-1 ragged edges recompiled per shape and cost ~17x
+        * the core is cropped on device (traced-offset dynamic_slice) so
+          only core voxels cross PCIe back
+        * chunk t+1's upload+compute dispatches before chunk t's result is
+          pulled, overlapping host<->device transfer with TPU compute
+        """
         shape = frame_cpu.shape
         chunk_voxels = int(max_chunk_voxels or self.max_chunk_voxels or int(np.prod(shape)))
         halo = self.halo or (0,) * len(shape)
@@ -197,17 +277,24 @@ class Filter:
         while True:
             try:
                 chunk_shape = compute_chunk_shape(shape, chunk_voxels)
+                core_shape, _ = uniform_window_shapes(shape, chunk_shape, halo)
                 vessel_out = np.zeros(shape, dtype=np.float32)
-                for core, ext, core_in_ext in iter_chunks(shape, chunk_shape, halo):
-                    chunk = jax.device_put(
-                        np.ascontiguousarray(frame_cpu[ext], dtype=np.float32), dev
-                    )
+                pending = None
+                for core, ext, offset in iter_uniform_windows(shape, chunk_shape, halo):
+                    # raw-dtype upload (uint16 halves tunnel traffic)
+                    chunk = jax.device_put(np.ascontiguousarray(frame_cpu[ext]), dev)
                     v, m = frangi_k.vesselness_frame(chunk, self._params, apply_mask=mask)
-                    vessel_out[core] = np.asarray(v)[core_in_ext]
-                vessel = jnp.asarray(vessel_out)
+                    v_core = _crop_core(v, jnp.asarray(offset, jnp.int32), core_shape)
+                    if pending is not None:
+                        vessel_out[pending[0]] = np.asarray(pending[1])
+                    pending = (core, v_core)
+                if pending is not None:
+                    vessel_out[pending[0]] = np.asarray(pending[1])
+                # stay on host: finalize/remove_edges run in numpy, so the
+                # assembled frame never re-crosses the host<->device link
                 if self.remove_edges:
-                    vessel = frangi_k.remove_edges_frame(vessel)
-                return vessel
+                    vessel_out = _remove_edges_host(vessel_out)
+                return vessel_out
             except Exception as exc:
                 if not adaptive_run.is_oom_error(exc):
                     raise
@@ -234,7 +321,10 @@ class Filter:
             if self.viewer is not None:
                 self.viewer.status = f"Preprocessing. Frame: {t + 1} of {self.num_t}."
             frangi_frame = self._run_frame(t, mask=mask)
-            frangi_frame = frangi_k.finalize_frame(frangi_frame, self.max_threshold_samples)
+            if isinstance(frangi_frame, np.ndarray):
+                frangi_frame = _finalize_host(frangi_frame, self.max_threshold_samples)
+            else:
+                frangi_frame = frangi_k.finalize_frame(frangi_frame, self.max_threshold_samples)
             if pending is not None:
                 self._write_frame(*pending)
             pending = (t, frangi_frame)

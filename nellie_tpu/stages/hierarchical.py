@@ -1,159 +1,707 @@
 """Stage 7 — Hierarchy: voxel → node → branch → organelle → image features.
 
-Rebuild of the reference ``Hierarchy``
-(``/root/reference/nellie/feature_extraction/hierarchical.py``), same
-outputs: five streaming CSV tables (``features_voxels/nodes/branches/
-organelles/image``) and the pickled adjacency edge lists
-(``adjacency_maps.pkl`` with keys v_b/v_n/v_o/n_b/n_o/b_o).
+Produces the reference Hierarchy's artifacts — five streaming CSV tables
+(``features_voxels/nodes/branches/organelles/image``) and the pickled
+adjacency edge lists (``adjacency_maps.pkl``) — from a frame-major,
+device-centric design instead of the reference's level-major host
+accumulation (``/root/reference/nellie/feature_extraction/
+hierarchical.py:235-273``):
 
-Feature definitions mirror the reference:
+* each timepoint is loaded once and flows through one extraction pass
+  producing fixed-schema per-level tables; CSV rows stream out per frame,
+  so host memory stays O(frame) instead of O(dataset)
+* every per-group statistic (voxel→node/branch/organelle/image) is an XLA
+  segment reduction on device (``kernels/segstats.py``), replacing the
+  reference's padded-index-matrix host gathers (hierarchical.py:1165-1272)
+* thickness = distance to the nearest border voxel: the reference's host
+  cKDTree (hierarchical.py:1432-1441) becomes the Pallas MXU brute-force
+  NN kernel (``kernels/pallas_nn.py``) over physical coordinates — exact,
+  and shared by nodes (thickness) and branches (tip radii, median width)
+* branch centerline length/degree — the reference's per-offset host sweep
+  (hierarchical.py:1515-1618) — is a jitted 13-offset stencil whose label
+  totals are one segment_sum (``kernels/segstats.branch_geometry``)
+* voxel motility (feature definitions per hierarchical.py:861-1061) is one
+  jitted kernel: flow-derived linear/angular velocity and acceleration
+  plus the branch-relative variants, with the per-branch reference voxel
+  (minimum |flow|) found by an on-device segment-argmin
 
-* Voxels  — coords, intensity, structure (Frangi), and motility from
-  bwd/fwd interpolated flow: linear/angular velocity & acceleration plus
-  *relative* variants against the branch-reference voxel of minimum
-  |flow| and relative directionality (hierarchical.py:956-1152)
-* Nodes   — skeleton-voxel features: thickness (2x distance to border),
-  divergence/convergence/vergere dot products (hierarchical.py:1275-1441)
-* Branches — centerline length via neighbour-offset edge sweep with tip
-  radius correction, median thickness, aspect ratio, tortuosity, and
-  region morphology (hierarchical.py:1444-1878)
-* Components — organelle region morphology + lower-level aggregations
-* Image   — whole-frame aggregations of every lower level
-
-Group reductions run as vectorised numpy (bincount / lexsort-group)
-instead of per-label Python loops; region morphology comes from
-``nellie_tpu.utils.regionprops``.  The vectorised and low-memory
-aggregation paths agree exactly (the reference's own parity invariant,
-``tests/test_hierarchical_aggregation.py``).
+Feature names, CSV column order, and adjacency key layout are identical
+to the reference so the napari Analysis tab and downstream notebooks work
+unchanged.
 """
 from __future__ import annotations
 
 import os
 import pickle
-import time
-import warnings
 
 import numpy as np
 import pandas as pd
 
-# NaN-aware group statistics legitimately hit empty/all-NaN groups
-warnings.filterwarnings("ignore", category=RuntimeWarning, message="Mean of empty slice")
-warnings.filterwarnings("ignore", category=RuntimeWarning, message="All-NaN slice encountered")
-warnings.filterwarnings("ignore", category=RuntimeWarning, message="Degrees of freedom <= 0 for slice")
-warnings.filterwarnings("ignore", category=RuntimeWarning, message="invalid value encountered in divide")
+import jax
+import jax.numpy as jnp
+from functools import partial
 
 from nellie_tpu.io.verifier import ImInfo
+from nellie_tpu.kernels.pallas_nn import nearest_neighbors
+from nellie_tpu.kernels.segstats import (
+    STAT_KEYS,
+    _bucket,
+    branch_geometry,
+    segment_nanstats,
+)
 from nellie_tpu.stages.flow_interpolation import FlowInterpolator
 from nellie_tpu.utils import adaptive_run
 from nellie_tpu.utils.base_logger import logger
 from nellie_tpu.utils.regionprops import regionprops
 
+# statistic names per level, in CSV column order (reference parity)
+VOXEL_STATS = (
+    "linear_vel", "angular_vel", "linear_acc", "angular_acc",
+    "rel_linear_vel", "rel_angular_vel", "rel_linear_acc",
+    "rel_angular_acc", "rel_directionality", "structure", "intensity",
+)
+NODE_STATS = ("divergence", "convergence", "vergere", "node_thickness")
+BRANCH_STATS = (
+    "branch_length", "branch_thickness", "branch_aspect_ratio",
+    "branch_tortuosity", "branch_area", "branch_axis_length_maj",
+    "branch_axis_length_min", "branch_extent", "branch_solidity",
+)
+ORGANELLE_STATS = (
+    "organelle_area", "organelle_axis_length_maj",
+    "organelle_axis_length_min", "organelle_extent", "organelle_solidity",
+)
 
-def distance_check(border_mask, check_coords, spacing):
-    """Distance from each coordinate to the nearest border voxel."""
-    border_coords = np.argwhere(border_mask) * spacing
+
+def border_distance(border_mask: np.ndarray, coords: np.ndarray, spacing) -> np.ndarray:
+    """Physical distance from each coordinate to the nearest border voxel
+    — exact brute force on the MXU (replaces the reference's cKDTree,
+    hierarchical.py:1432-1441)."""
+    coords = np.asarray(coords, np.float64)
+    if coords.size == 0:
+        return np.zeros((0,), np.float32)
+    border_coords = np.argwhere(border_mask)
     if border_coords.size == 0:
-        return np.full(len(check_coords), np.nan, dtype=float)
-    from scipy import spatial
-
-    tree = spatial.cKDTree(border_coords)
-    dist, _ = tree.query(np.asarray(check_coords) * spacing, k=1)
+        return np.full(len(coords), np.nan, dtype=np.float32)
+    spacing = np.asarray(spacing, np.float64)
+    dist, _ = nearest_neighbors(coords * spacing, border_coords * spacing)
     return dist
 
 
-def append_to_array(to_append):
-    """Feature dict -> (list of 1D arrays, headers)."""
-    new_array = []
-    new_headers = []
-    for feature, stats in to_append.items():
-        if not isinstance(stats, dict):
-            stats = {"raw": [np.array(stats)]}
-        for stat, vals in stats.items():
-            vals = np.array(vals)[0]
-            new_array.append(vals)
-            new_headers.append(f"{feature}_{stat}")
-    return new_array, new_headers
+# ---------------------------------------------------------------------------
+# motility kernel
+# ---------------------------------------------------------------------------
+
+def _segment_argmin(values, seg_ids, num_segments):
+    """Index of the minimum value per segment (-1 where empty); ties break
+    to the smallest index, matching a stable sort-by-(segment, value)."""
+    n = values.shape[0]
+    valid = (~jnp.isnan(values)) & (seg_ids >= 0) & (seg_ids < num_segments)
+    sid = jnp.where(valid, seg_ids, num_segments).astype(jnp.int32)
+    m = jax.ops.segment_min(jnp.where(valid, values, jnp.inf), sid, num_segments + 1)
+    ismin = valid & (values == m[sid])
+    big = jnp.int32(np.iinfo(np.int32).max)
+    idx = jax.ops.segment_min(
+        jnp.where(ismin, jnp.arange(n, dtype=jnp.int32), big), sid, num_segments + 1)
+    return jnp.where(idx == big, -1, idx)[:num_segments]
 
 
-def aggregate_stats_for_class(child_class, t, list_of_idxs, low_memory: bool = False):
-    """nan mean/std/min/max/sum per group of indices for every scalar stat.
+@partial(jax.jit, static_argnames=("no_z", "has01", "num_labels"))
+def _motility_kernel(coords_px, vec01_px, vec12_px, labels, spacing, dt,
+                     no_z: bool, has01: bool, num_labels: int):
+    """All per-voxel motility statistics for one frame.
 
-    Vectorised padded-index-matrix fast path and a low-memory loop that
-    must agree exactly (reference hierarchical.py:1165-1272)."""
-    aggregate_stats = {
-        stat_name: {"mean": [], "std_dev": [], "min": [], "max": [], "sum": []}
-        for stat_name in child_class.stats_to_aggregate
-        if stat_name != "reassigned_label"
+    coords_px/vec01_px/vec12_px: (N, d) voxel-space; labels: (N,) branch
+    ids (padding rows -1); spacing (d,); dt scalar. vec12 must exist
+    (t < T-1) — the t==T-1 frame is all-NaN by definition and never calls
+    this. Returns a dict of (N,) magnitude columns.
+    """
+    nan = jnp.float32(jnp.nan)
+    n, d = coords_px.shape
+    sp = spacing[None, :]
+    coords_1 = coords_px * sp
+
+    def lin(ra, rb):
+        v = (rb - ra) / dt
+        return v, jnp.linalg.norm(v, axis=1)
+
+    def ang(ra, rb):
+        if no_z:
+            theta_a = jnp.arctan2(ra[:, 1], ra[:, 0])
+            theta_b = jnp.arctan2(rb[:, 1], rb[:, 0])
+            delta = (theta_b - theta_a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+            av = delta / dt
+            return av, jnp.abs(av)
+        cross = jnp.cross(ra, rb)
+        norm = jnp.linalg.norm(ra, axis=1) * jnp.linalg.norm(rb, axis=1)
+        ang_disp = jnp.where(norm[:, None] != 0, cross / jnp.where(norm[:, None] != 0, norm[:, None], 1.0), nan)
+        av = ang_disp / dt
+        return av, jnp.linalg.norm(av, axis=1)
+
+    def rel_coords(vec_phys, coords_a, coords_b):
+        """Positions relative to the branch's reference voxel — the member
+        of minimum |flow| (hierarchical.py:861-913)."""
+        euc = jnp.linalg.norm(vec_phys, axis=1)
+        ref_of_label = _segment_argmin(euc, labels, num_labels)
+        lbl_ok = (labels >= 0) & (labels < num_labels)
+        ridx = jnp.where(lbl_ok, ref_of_label[jnp.clip(labels, 0, num_labels - 1)], -1)
+        ok = (ridx >= 0)[:, None]
+        ridx_c = jnp.maximum(ridx, 0)
+        ref_a = jnp.where(ok, coords_a[ridx_c], nan)
+        ref_b = jnp.where(ok, coords_b[ridx_c], nan)
+        ref_a = jnp.where(jnp.isnan(vec_phys), nan, ref_a)
+        ref_b = jnp.where(jnp.isnan(vec_phys), nan, ref_b)
+        return coords_a - ref_a, coords_b - ref_b
+
+    vec12 = vec12_px * sp
+    coords_2 = (coords_px + vec12_px) * sp
+
+    lin_vel_v, lin_vel_mag = lin(coords_1, coords_2)
+    ang_vel, ang_vel_mag = ang(coords_1, coords_2)
+    r1_rel, r2_rel = rel_coords(vec12, coords_1, coords_2)
+    lin_vel_rel_v, lin_vel_rel_mag = lin(r1_rel, r2_rel)
+    ang_vel_rel, ang_vel_rel_mag = ang(r1_rel, r2_rel)
+    r1m = jnp.linalg.norm(r1_rel, axis=1)
+    r2m = jnp.linalg.norm(r2_rel, axis=1)
+    denom = r2m + r1m
+    directionality = jnp.where(
+        denom != 0, jnp.abs(r2m - r1m) / jnp.where(denom != 0, denom, 1.0), nan)
+
+    if has01:
+        vec01 = vec01_px * sp
+        coords_0 = (coords_px - vec01_px) * sp
+        lin_vel_01v, _ = lin(coords_0, coords_1)
+        ang_vel_01, _ = ang(coords_0, coords_1)
+        r0_rel, r1_rel01 = rel_coords(vec01, coords_0, coords_1)
+        lin_vel_rel_01v, _ = lin(r0_rel, r1_rel01)
+        ang_vel_rel_01, _ = ang(r0_rel, r1_rel01)
+
+        lin_acc = (lin_vel_v - lin_vel_01v) / dt
+        lin_acc_mag = jnp.linalg.norm(lin_acc, axis=1)
+        ang_acc = (ang_vel - ang_vel_01) / dt
+        lin_acc_rel = (lin_vel_rel_v - lin_vel_rel_01v) / dt
+        lin_acc_rel_mag = jnp.linalg.norm(lin_acc_rel, axis=1)
+        ang_acc_rel = (ang_vel_rel - ang_vel_rel_01) / dt
+        if no_z:
+            ang_acc_mag = jnp.abs(ang_acc)
+            ang_acc_rel_mag = jnp.abs(ang_acc_rel)
+        else:
+            ang_acc_mag = jnp.linalg.norm(ang_acc, axis=1)
+            ang_acc_rel_mag = jnp.linalg.norm(ang_acc_rel, axis=1)
+    else:
+        nana = jnp.full((n,), nan)
+        lin_acc_mag = nana
+        ang_acc_mag = nana
+        lin_acc_rel_mag = nana
+        ang_acc_rel_mag = nana
+
+    return {
+        "linear_vel": lin_vel_mag,
+        "angular_vel": ang_vel_mag,
+        "linear_acc": lin_acc_mag,
+        "angular_acc": ang_acc_mag,
+        "rel_linear_vel": lin_vel_rel_mag,
+        "rel_angular_vel": ang_vel_rel_mag,
+        "rel_linear_acc": lin_acc_rel_mag,
+        "rel_angular_acc": ang_acc_rel_mag,
+        "rel_directionality": directionality,
     }
 
-    if low_memory:
-        for stat_name in child_class.stats_to_aggregate:
-            if stat_name == "reassigned_label":
+
+@partial(jax.jit, static_argnames=())
+def _box_membership_kernel(lims_lo, lims_hi, coords):
+    """(M, C) mask: coords[c] inside node r's radius box (inclusive
+    bounds, reference hierarchical.py:779-801)."""
+    m = jnp.ones((lims_lo.shape[0], coords.shape[0]), bool)
+    for dim in range(coords.shape[1]):
+        c = coords[None, :, dim]
+        m = m & (lims_lo[:, dim, None] <= c) & (c <= lims_hi[:, dim, None])
+    return m
+
+
+# ---------------------------------------------------------------------------
+# per-frame level tables
+# ---------------------------------------------------------------------------
+
+def _agg_columns(stat_names, agg) -> dict:
+    """Flatten a segment-stats result into `{stat}_{key}` CSV columns."""
+    cols = {}
+    for i, name in enumerate(stat_names):
+        for key in STAT_KEYS:
+            cols[f"{name}_{key}"] = np.asarray(agg[key][i], float)
+    return cols
+
+
+def _ids_into(member_labels: np.ndarray, row_labels: np.ndarray) -> np.ndarray:
+    """Map labels to row indices of `row_labels` (sorted unique); -1 where
+    absent (those members don't contribute)."""
+    member_labels = np.asarray(member_labels, np.int64)
+    if len(row_labels) == 0:
+        return np.full(member_labels.shape, -1, np.int32)
+    pos = np.searchsorted(row_labels, member_labels)
+    pos_c = np.clip(pos, 0, len(row_labels) - 1)
+    ok = row_labels[pos_c] == member_labels
+    return np.where(ok, pos_c, -1).astype(np.int32)
+
+
+def _majority_by_label(labels: np.ndarray, values: np.ndarray,
+                       row_labels: np.ndarray) -> np.ndarray:
+    """Most frequent value per label (ties → smallest value), NaN where a
+    row label has no members — np.argmax(np.bincount(...)) semantics
+    without the per-region loop (hierarchical.py:1787-1793)."""
+    out = np.full(len(row_labels), np.nan)
+    labels = np.asarray(labels, np.int64)
+    if labels.size == 0 or len(row_labels) == 0:
+        return out
+    values = np.asarray(values, np.int64)
+    order = np.lexsort((values, labels))
+    l, v = labels[order], values[order]
+    change = np.ones(len(l), bool)
+    change[1:] = (l[1:] != l[:-1]) | (v[1:] != v[:-1])
+    starts = np.nonzero(change)[0]
+    counts = np.diff(np.append(starts, len(l)))
+    gl, gv = l[starts], v[starts]
+    pick = np.lexsort((gv, -counts, gl))
+    first = np.ones(len(pick), bool)
+    first[1:] = gl[pick][1:] != gl[pick][:-1]
+    sel = pick[first]
+    idx = _ids_into(gl[sel], np.asarray(row_labels, np.int64))
+    ok = idx >= 0
+    out[idx[ok]] = gv[sel][ok]
+    return out
+
+
+class _VoxelLevel:
+    """Per-voxel features for one frame: coordinates, intensity/structure
+    gathers, and the motility bundle. `stats` is the (11, N) value matrix
+    in VOXEL_STATS order that all higher levels aggregate from."""
+
+    def __init__(self, h: "Hierarchy", t: int):
+        self.t = t
+        label_frame = np.asarray(h.label_components[t])
+        self.coords = np.argwhere(label_frame > 0)
+        n = len(self.coords)
+        at = tuple(self.coords.T)
+        self.component_labels = label_frame[at].astype(np.int64)
+        self.branch_labels = np.asarray(h.label_branches[t])[at].astype(np.int64)
+        self.intensity = np.asarray(h.im_raw[t])[at].astype(np.float32)
+        self.structure = np.asarray(h.im_struct[t])[at].astype(np.float32)
+
+        d = self.coords.shape[1]
+        if h.im_info.no_z:
+            self.z = np.full(n, np.nan, np.float32)
+            self.y = self.coords[:, 0].astype(np.float32)
+            self.x = self.coords[:, 1].astype(np.float32)
+        else:
+            self.z = self.coords[:, 0].astype(np.float32)
+            self.y = self.coords[:, 1].astype(np.float32)
+            self.x = self.coords[:, 2].astype(np.float32)
+
+        spacing = np.asarray(h.spacing, np.float32)
+        self.vec01 = np.full((n, d), np.nan, np.float32)
+        self.vec12 = np.full((n, d), np.nan, np.float32)
+        motility = {k: np.full(n, np.nan, np.float32)
+                    for k in VOXEL_STATS if k not in ("structure", "intensity")}
+
+        run_motility = (h.enable_motility and h.flow_interpolator_fw is not None
+                        and h.num_t is not None and h.num_t > 1 and n > 0)
+        if run_motility:
+            coords_f = self.coords.astype(np.float32)
+            vec01_px = vec12_px = None
+            if t > 0:
+                vec01_px = np.asarray(
+                    h.flow_interpolator_bw.interpolate_coord(coords_f, t), np.float32)
+                self.vec01 = vec01_px * spacing
+            if t < h.num_t - 1:
+                vec12_px = np.asarray(
+                    h.flow_interpolator_fw.interpolate_coord(coords_f, t), np.float32)
+                self.vec12 = vec12_px * spacing
+            if vec12_px is not None:
+                nb = _bucket(n, 128)
+                lb = _bucket(int(self.branch_labels.max()) + 1 if n else 1, 8)
+                cp = np.zeros((nb, d), np.float32)
+                cp[:n] = coords_f
+                v01 = np.full((nb, d), np.nan, np.float32)
+                if vec01_px is not None:
+                    v01[:n] = vec01_px
+                v12 = np.full((nb, d), np.nan, np.float32)
+                v12[:n] = vec12_px
+                lbl = np.full((nb,), -1, np.int32)
+                lbl[:n] = self.branch_labels
+                out = _motility_kernel(
+                    jnp.asarray(cp), jnp.asarray(v01), jnp.asarray(v12),
+                    jnp.asarray(lbl), jnp.asarray(spacing),
+                    jnp.float32(h.im_info.dim_res["T"] or 1.0),
+                    no_z=h.im_info.no_z, has01=t > 0, num_labels=lb)
+                for k in motility:
+                    motility[k] = np.asarray(out[k])[:n]
+        self.motility = motility
+
+        self.stats = np.stack([
+            motility["linear_vel"], motility["angular_vel"],
+            motility["linear_acc"], motility["angular_acc"],
+            motility["rel_linear_vel"], motility["rel_angular_vel"],
+            motility["rel_linear_acc"], motility["rel_angular_acc"],
+            motility["rel_directionality"],
+            self.structure, self.intensity,
+        ]) if n else np.zeros((len(VOXEL_STATS), 0), np.float32)
+
+    def columns(self) -> dict:
+        cols = {}
+        for k in VOXEL_STATS[:9]:
+            cols[f"{k}_raw"] = self.motility[k]
+        cols["structure_raw"] = self.structure
+        cols["intensity_raw"] = self.intensity
+        cols["x_raw"] = self.x
+        cols["y_raw"] = self.y
+        cols["z_raw"] = self.z
+        return cols
+
+
+class _NodeLevel:
+    """Skeleton-voxel ("node") features: radius-box voxel membership,
+    flow divergence/convergence, thickness. Optional (skip_nodes)."""
+
+    def __init__(self, h: "Hierarchy", t: int, vox: _VoxelLevel):
+        self.t = t
+        pixel_class = np.asarray(h.im_pixel_class[t])
+        self.nodes = np.argwhere(pixel_class > 0)
+        m = len(self.nodes)
+        at = tuple(self.nodes.T)
+        self.component_label = np.asarray(h.label_components[t])[at].astype(np.int64)
+        self.branch_label = np.asarray(h.label_branches[t])[at].astype(np.int64)
+
+        # radius boxes from the distance image at each skeleton voxel
+        radius = np.asarray(h.im_distance[t])[at].astype(np.float64)
+        shape = pixel_class.shape
+        lo = np.empty((m, len(shape)), np.int32)
+        hi = np.empty((m, len(shape)), np.int32)
+        for dim in range(len(shape)):
+            lo[:, dim] = np.clip((self.nodes[:, dim] - radius).astype(int), 0, shape[dim])
+            hi[:, dim] = np.clip((self.nodes[:, dim] + radius).astype(int) + 1, 0, shape[dim])
+
+        # voxel<->node membership: (M, C) box tests on device, pair lists
+        # grouped on host (no per-pair Python loop)
+        pair_node, pair_vox = self._membership_pairs(h, lo, hi, vox.coords)
+        self.pair_node = pair_node
+        self.pair_vox = pair_vox
+
+        spacing = np.asarray(h.spacing, np.float64)
+        self.node_thickness = border_distance(
+            np.asarray(h.im_border_mask[t]), self.nodes, spacing) * 2.0
+
+        # per-pair dot products + member coords -> per-node means
+        if len(pair_node):
+            dvec = (vox.coords[pair_vox] - self.nodes[pair_node]).astype(np.float64)
+            mag = np.linalg.norm(dvec, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                direction = np.divide(dvec, mag, out=np.full_like(dvec, np.nan),
+                                      where=mag != 0)
+            dot01 = np.sum(vox.vec01[pair_vox] * direction, axis=1)
+            dot12 = np.sum(vox.vec12[pair_vox] * direction, axis=1)
+            pair_vals = np.concatenate(
+                [dot01[None], dot12[None], vox.coords[pair_vox].T.astype(np.float32)])
+            agg = segment_nanstats(pair_vals, pair_node, m)
+            means = agg["mean"]
+            self.convergence = means[0]
+            self.divergence = means[1]
+            self.vergere = self.convergence + self.divergence
+            if h.im_info.no_z:
+                self.z = np.full(m, np.nan)
+                self.y = means[2] * spacing[0]
+                self.x = means[3] * spacing[1]
+            else:
+                self.z = means[2] * spacing[0]
+                self.y = means[3] * spacing[1]
+                self.x = means[4] * spacing[2]
+            vox_agg = segment_nanstats(vox.stats[:, pair_vox], pair_node, m)
+        else:
+            nanm = np.full(m, np.nan)
+            self.convergence = nanm.copy()
+            self.divergence = nanm.copy()
+            self.vergere = nanm.copy()
+            self.z = nanm.copy()
+            self.y = nanm.copy()
+            self.x = nanm.copy()
+            vox_agg = {k: np.full((len(VOXEL_STATS), m), np.nan) for k in STAT_KEYS}
+        self.aggregate_voxel_metrics = vox_agg
+
+        self.stats = np.stack([
+            np.asarray(self.divergence, np.float64),
+            np.asarray(self.convergence, np.float64),
+            np.asarray(self.vergere, np.float64),
+            np.asarray(self.node_thickness, np.float64),
+        ]) if m else np.zeros((len(NODE_STATS), 0))
+
+    @staticmethod
+    def _membership_pairs(h, lo, hi, vox_coords):
+        m = len(lo)
+        c_total = len(vox_coords)
+        if m == 0 or c_total == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        max_elems = h.max_node_mask_elems // (4 if h.low_memory else 1)
+        chunk = int(max(1, min(h.node_chunk_size or 10000, max_elems // max(m, 1))))
+        chunk = _bucket(min(chunk, c_total), 128)
+        mb = _bucket(m, 128)
+        d = lo.shape[1]
+        # pad nodes with empty boxes (lo > hi never matches)
+        lo_p = np.ones((mb, d), np.int32)
+        lo_p[:m] = lo
+        hi_p = np.zeros((mb, d), np.int32)
+        hi_p[:m] = hi
+        lo_d = jnp.asarray(lo_p)
+        hi_d = jnp.asarray(hi_p)
+        pair_node, pair_vox = [], []
+        for start in range(0, c_total, chunk):
+            end = min(start + chunk, c_total)
+            cc = np.full((chunk, d), -1, np.int32)  # out of every box
+            cc[: end - start] = vox_coords[start:end]
+            mask = np.asarray(_box_membership_kernel(lo_d, hi_d, jnp.asarray(cc)))
+            r, c = np.nonzero(mask)
+            pair_node.append(r.astype(np.int32))
+            pair_vox.append((c + start).astype(np.int32))
+        return np.concatenate(pair_node), np.concatenate(pair_vox)
+
+    def columns(self) -> dict:
+        cols = _agg_columns(VOXEL_STATS, self.aggregate_voxel_metrics)
+        for k, v in (("divergence", self.divergence), ("convergence", self.convergence),
+                     ("vergere", self.vergere), ("node_thickness", self.node_thickness),
+                     ("x", self.x), ("y", self.y), ("z", self.z)):
+            cols[f"{k}_raw"] = np.asarray(v, float)
+        return cols
+
+
+class _BranchLevel:
+    """Branch features: centerline length (stencil kernel), thickness
+    (MXU border distance), tortuosity, region morphology."""
+
+    def __init__(self, h: "Hierarchy", t: int, vox: _VoxelLevel, nodes):
+        self.t = t
+        skel = np.asarray(h.im_skel[t])
+        skel_coords = np.argwhere(skel > 0)
+        skel_labels = skel[tuple(skel_coords.T)].astype(np.int64)
+        row_labels, first_idx = np.unique(skel_labels, return_index=True)
+        keep = row_labels > 0
+        row_labels, first_idx = row_labels[keep], first_idx[keep]
+        self.branch_label = row_labels
+        b = len(row_labels)
+        first_coords = skel_coords[first_idx] if b else np.zeros((0, skel.ndim), int)
+        self.component_label = (
+            np.asarray(h.label_components[t])[tuple(first_coords.T)].astype(np.int64)
+            if b else np.zeros(0, np.int64))
+
+        # child aggregations
+        self.aggregate_voxel_metrics = segment_nanstats(
+            vox.stats, _ids_into(vox.branch_labels, row_labels), b)
+        self.aggregate_node_metrics = None
+        if nodes is not None:
+            self.aggregate_node_metrics = segment_nanstats(
+                nodes.stats, _ids_into(nodes.branch_label, row_labels), b)
+
+        spacing = np.asarray(h.spacing, np.float64)
+        if b:
+            lengths_all, degree = branch_geometry(skel, spacing)
+            lengths = lengths_all[row_labels].astype(np.float64)
+
+            radii = border_distance(np.asarray(h.im_border_mask[t]), skel_coords, spacing)
+            deg_at = degree[tuple(skel_coords.T)]
+            rows = _ids_into(skel_labels, row_labels)
+
+            # tip length corrections (hierarchical.py:1694-1713)
+            tips = deg_at == 1
+            lone = deg_at == 0
+            np.add.at(lengths, rows[lone], 2.0 * radii[lone])
+            np.add.at(lengths, rows[tips], radii[tips])
+
+            # median thickness per branch (sorted-run medians)
+            thickness = np.full(b, np.nan)
+            order = np.argsort(skel_labels, kind="stable")
+            sl, st = skel_labels[order], (radii * 2.0)[order]
+            starts = np.searchsorted(sl, row_labels)
+            ends = np.searchsorted(sl, row_labels, side="right")
+            for i in range(b):
+                if ends[i] > starts[i]:
+                    thickness[i] = np.median(st[starts[i]:ends[i]])
+
+            swap = (~np.isnan(thickness)) & (thickness > lengths)
+            thickness[swap], lengths[swap] = lengths[swap], thickness[swap].copy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                aspect = np.where(thickness != 0, lengths / thickness, np.nan)
+
+            # tortuosity: length / tip-to-tip distance (first two tips)
+            tortuosity = np.ones(b)
+            tip_rows = rows[tips]
+            tip_coords = skel_coords[tips]
+            torder = np.argsort(tip_rows, kind="stable")
+            tr, tc = tip_rows[torder], tip_coords[torder]
+            tstarts = np.searchsorted(tr, np.arange(b))
+            tends = np.searchsorted(tr, np.arange(b), side="right")
+            two = (tends - tstarts) >= 2
+            for i in np.nonzero(two)[0]:
+                p0, p1 = tc[tstarts[i]], tc[tstarts[i] + 1]
+                tip_dist = np.sqrt(np.sum(((p0 - p1) * spacing) ** 2))
+                if tip_dist > 0:
+                    tortuosity[i] = lengths[i] / tip_dist
+
+            self.branch_length = lengths
+            self.branch_thickness = thickness
+            self.branch_aspect_ratio = aspect
+            self.branch_tortuosity = tortuosity
+        else:
+            empty = np.zeros(0)
+            self.branch_length = empty
+            self.branch_thickness = empty.copy()
+            self.branch_aspect_ratio = empty.copy()
+            self.branch_tortuosity = empty.copy()
+
+        # region morphology over the full-volume branch labels
+        label_branches = np.asarray(h.label_branches[t]).astype(np.int64)
+        props = {r.label: r for r in regionprops(label_branches, spacing=tuple(spacing))}
+        self._fill_regionprops(props, row_labels, "branch")
+
+        if h.im_branch_reassigned is not None and not h.im_info.no_t:
+            fg = label_branches > 0
+            self.reassigned_label = _majority_by_label(
+                label_branches[fg], np.asarray(h.im_branch_reassigned[t])[fg], row_labels)
+        else:
+            self.reassigned_label = np.full(b, np.nan)
+
+        self.stats = np.stack([
+            self.branch_length, self.branch_thickness, self.branch_aspect_ratio,
+            self.branch_tortuosity, self.branch_area, self.branch_axis_length_maj,
+            self.branch_axis_length_min, self.branch_extent, self.branch_solidity,
+        ]).astype(np.float64) if b else np.zeros((len(BRANCH_STATS), 0))
+
+    def _fill_regionprops(self, props, row_labels, prefix):
+        n = len(row_labels)
+        area = np.full(n, np.nan)
+        maj = np.full(n, np.nan)
+        mino = np.full(n, np.nan)
+        extent = np.full(n, np.nan)
+        solidity = np.full(n, np.nan)
+        z = np.full(n, np.nan)
+        y = np.full(n, np.nan)
+        x = np.full(n, np.nan)
+        for i, lbl in enumerate(row_labels):
+            r = props.get(int(lbl))
+            if r is None:
                 continue
-            stat_array = np.array(getattr(child_class, stat_name)[t], dtype=float)
-            if stat_array.ndim > 1:
-                continue
-            for idxs in list_of_idxs:
-                entry = aggregate_stats[stat_name]
-                if len(idxs) == 0:
-                    for key in entry:
-                        entry[key].append(np.nan)
-                else:
-                    vals = stat_array[np.asarray(idxs, int)]
-                    entry["mean"].append(np.nanmean(vals))
-                    entry["std_dev"].append(np.nanstd(vals))
-                    entry["min"].append(np.nanmin(vals))
-                    entry["max"].append(np.nanmax(vals))
-                    entry["sum"].append(np.nansum(vals))
-        for stat_name in aggregate_stats:
-            for key in aggregate_stats[stat_name]:
-                arr = np.asarray(aggregate_stats[stat_name][key], dtype=float)
-                aggregate_stats[stat_name][key] = arr.reshape(1, -1)
-        return aggregate_stats
+            area[i] = r.area
+            maj[i] = r.major_axis_length
+            mino[i] = r.minor_axis_length
+            extent[i] = r.extent
+            solidity[i] = r.solidity
+            if len(r.centroid) == 3:
+                z[i], y[i], x[i] = r.centroid
+            else:
+                y[i], x[i] = r.centroid
+        setattr(self, f"{prefix}_area", area)
+        setattr(self, f"{prefix}_axis_length_maj", maj)
+        setattr(self, f"{prefix}_axis_length_min", mino)
+        setattr(self, f"{prefix}_extent", extent)
+        setattr(self, f"{prefix}_solidity", solidity)
+        self.z, self.y, self.x = z, y, x
 
-    largest = max((len(idxs) for idxs in list_of_idxs), default=0)
-    for stat_name in child_class.stats_to_aggregate:
-        if stat_name == "reassigned_label":
-            continue
-        stat_array = np.array(getattr(child_class, stat_name)[t], dtype=float)
-        if stat_array.ndim > 1:
-            continue
-        stat_array = np.append(stat_array, np.nan)
-        idxs_array = np.full((len(list_of_idxs), max(largest, 1)), len(stat_array) - 1, int)
-        for i, idxs in enumerate(list_of_idxs):
-            if len(idxs) > 0:
-                idxs_array[i, : len(idxs)] = np.asarray(idxs, int)
-        vals = stat_array[idxs_array]
-        entry = aggregate_stats[stat_name]
-        entry["mean"].append(np.nanmean(vals, axis=1))
-        entry["std_dev"].append(np.nanstd(vals, axis=1))
-        entry["min"].append(np.nanmin(vals, axis=1))
-        entry["max"].append(np.nanmax(vals, axis=1))
-        # match the low-memory path: zero-length groups sum to NaN, not 0
-        sums = np.nansum(vals, axis=1)
-        group_sizes = np.array([len(idxs) for idxs in list_of_idxs])
-        sums = np.where(group_sizes == 0, np.nan, sums)
-        entry["sum"].append(sums)
-    for stat_name in aggregate_stats:
-        for key in aggregate_stats[stat_name]:
-            aggregate_stats[stat_name][key] = np.array(aggregate_stats[stat_name][key])
-    return aggregate_stats
+    def columns(self, skip_nodes: bool) -> dict:
+        cols = {}
+        if not skip_nodes and self.aggregate_node_metrics is not None:
+            cols.update(_agg_columns(NODE_STATS, self.aggregate_node_metrics))
+        cols.update(_agg_columns(VOXEL_STATS, self.aggregate_voxel_metrics))
+        for k in BRANCH_STATS:
+            cols[f"{k}_raw"] = np.asarray(getattr(self, k), float)
+        cols["reassigned_label_raw"] = np.asarray(self.reassigned_label, float)
+        cols["x_raw"] = self.x
+        cols["y_raw"] = self.y
+        cols["z_raw"] = self.z
+        return cols
 
 
-def _group_indices_by_label(labels):
-    """list of index arrays, one per unique nonzero label (ascending)."""
-    labels = np.asarray(labels)
-    if labels.size == 0:
-        return []
-    order = np.argsort(labels, kind="stable")
-    sorted_labels = labels[order]
-    uniq, starts = np.unique(sorted_labels, return_index=True)
-    ends = np.append(starts[1:], len(sorted_labels))
-    return [order[s:e] for u, s, e in zip(uniq, starts, ends) if u != 0]
+class _ComponentLevel(_BranchLevel):
+    """Organelle features: morphology + aggregations of every lower level."""
+
+    def __init__(self, h: "Hierarchy", t: int, vox: _VoxelLevel, nodes, branches):
+        self.t = t
+        label_frame = np.asarray(h.label_components[t]).astype(np.int64)
+        row_labels = np.unique(label_frame[label_frame > 0])
+        self.component_label = row_labels
+        o = len(row_labels)
+
+        self.aggregate_voxel_metrics = segment_nanstats(
+            vox.stats, _ids_into(vox.component_labels, row_labels), o)
+        self.aggregate_node_metrics = None
+        if nodes is not None:
+            self.aggregate_node_metrics = segment_nanstats(
+                nodes.stats, _ids_into(nodes.component_label, row_labels), o)
+        self.aggregate_branch_metrics = segment_nanstats(
+            branches.stats, _ids_into(branches.component_label, row_labels), o)
+
+        spacing = tuple(float(s) for s in h.spacing)
+        props = {r.label: r for r in regionprops(label_frame, spacing=spacing)}
+        self._fill_regionprops(props, row_labels, "organelle")
+
+        if h.im_obj_reassigned is not None and not h.im_info.no_t:
+            fg = label_frame > 0
+            self.reassigned_label = _majority_by_label(
+                label_frame[fg], np.asarray(h.im_obj_reassigned[t])[fg], row_labels)
+        else:
+            self.reassigned_label = np.full(o, np.nan)
+
+        self.stats = np.stack([
+            self.organelle_area, self.organelle_axis_length_maj,
+            self.organelle_axis_length_min, self.organelle_extent,
+            self.organelle_solidity,
+        ]).astype(np.float64) if o else np.zeros((len(ORGANELLE_STATS), 0))
+
+    def columns(self, skip_nodes: bool) -> dict:
+        cols = {}
+        if not skip_nodes and self.aggregate_node_metrics is not None:
+            cols.update(_agg_columns(NODE_STATS, self.aggregate_node_metrics))
+        cols.update(_agg_columns(VOXEL_STATS, self.aggregate_voxel_metrics))
+        cols.update(_agg_columns(BRANCH_STATS, self.aggregate_branch_metrics))
+        for k in ORGANELLE_STATS:
+            cols[f"{k}_raw"] = np.asarray(getattr(self, k), float)
+        cols["reassigned_label_raw"] = np.asarray(self.reassigned_label, float)
+        cols["x_raw"] = self.x
+        cols["y_raw"] = self.y
+        cols["z_raw"] = self.z
+        return cols
+
+
+def _image_columns(vox, nodes, branches, components, skip_nodes: bool) -> dict:
+    """Whole-frame aggregations — one segment with everything in it."""
+    def whole(stats, names):
+        n = stats.shape[1]
+        agg = segment_nanstats(stats, np.zeros(n, np.int32), 1)
+        return _agg_columns(names, agg)
+
+    cols = {}
+    if not skip_nodes and nodes is not None:
+        cols.update(whole(nodes.stats, NODE_STATS))
+    cols.update(whole(vox.stats, VOXEL_STATS))
+    cols.update(whole(branches.stats, BRANCH_STATS))
+    cols.update(whole(components.stats, ORGANELLE_STATS))
+    return cols
+
+
+class _CsvStream:
+    """Per-frame append writer with a stable header."""
+
+    def __init__(self, path):
+        self.path = path
+        self.first = True
+
+    def write(self, t, labels, cols: dict):
+        n = len(labels)
+        data = {"t": np.full(n, t, np.int64), "label": labels}
+        data.update(cols)
+        df = pd.DataFrame(data)
+        df.to_csv(self.path, index=False, mode="w" if self.first else "a",
+                  header=self.first)
+        self.first = False
 
 
 class Hierarchy:
-    """Orchestrates the five hierarchy levels and output files."""
+    """Frame-major feature extraction orchestrator (public API matches the
+    reference class: construct with ImInfo + flags, call run())."""
 
     def __init__(
         self,
@@ -195,30 +743,14 @@ class Hierarchy:
         self.im_border_mask = None
         self.im_obj_reassigned = None
         self.im_branch_reassigned = None
-
         self.flow_interpolator_fw = None
         self.flow_interpolator_bw = None
-
-        self.voxels = None
-        self.nodes = None
-        self.branches = None
-        self.components = None
-        self.image = None
-
-    def _resolve_node_chunk_size(self, num_nodes, num_voxels):
-        if num_voxels <= 0:
-            return 1
-        base_chunk = self.node_chunk_size or 10000
-        max_mask = self.max_node_mask_elems
-        if self.low_memory:
-            max_mask = max(1, max_mask // 4)
-        if num_nodes > 0 and num_nodes * base_chunk > max_mask:
-            base_chunk = max(1, max_mask // num_nodes)
-        return int(max(1, min(base_chunk, num_voxels)))
 
     def _get_t(self):
         if self.num_t is None and not self.im_info.no_t:
             self.num_t = self.im_info.shape[self.im_info.axes.index("T")]
+        if self.num_t is None:
+            self.num_t = 1
         return self.num_t
 
     def _allocate_memory(self):
@@ -232,6 +764,8 @@ class Hierarchy:
         self.im_border_mask = self.im_info.get_memmap(pp["im_border"])
         self.im_pixel_class = self.im_info.get_memmap(pp["im_pixel_class"])
 
+        self.im_obj_reassigned = None
+        self.im_branch_reassigned = None
         if not self.im_info.no_t:
             obj_path = pp.get("im_obj_label_reassigned")
             br_path = pp.get("im_branch_label_reassigned")
@@ -239,130 +773,9 @@ class Hierarchy:
                 self.im_obj_reassigned = self.im_info.get_memmap(obj_path)
                 self.im_branch_reassigned = self.im_info.get_memmap(br_path)
 
-    def _get_hierarchies(self):
-        self.voxels = Voxels(self)
-        logger.info("Running voxel analysis")
-        self.voxels.run()
-        self.nodes = Nodes(self)
-        logger.info("Running node analysis")
-        self.nodes.run()
-        self.branches = Branches(self)
-        logger.info("Running branch analysis")
-        self.branches.run()
-        self.components = Components(self)
-        logger.info("Running component analysis")
-        self.components.run()
-        self.image = Image(self)
-        logger.info("Running image analysis")
-        self.image.run()
-
-    # -- output streaming ------------------------------------------------------
-    @staticmethod
-    def _iter_feature_arrays(level, labels=None):
-        all_attr = []
-        for name in ("aggregate_node_metrics", "aggregate_voxel_metrics",
-                     "aggregate_branch_metrics", "aggregate_component_metrics"):
-            attr = getattr(level, name, None)
-            if attr:
-                all_attr.append(attr)
-        for feature in getattr(level, "features_to_save", []):
-            vals = getattr(level, feature, None)
-            if vals is None or len(vals) == 0:
-                continue
-            all_attr.append([{feature: vals[t]} for t in range(len(vals))])
-        if not all_attr:
-            return
-        num_frames = len(all_attr[0])
-        for t in range(num_frames):
-            time_dict = {}
-            for attr in all_attr:
-                time_dict.update(attr[t])
-            time_array, new_headers = append_to_array(time_dict)
-            if labels is None:
-                labels_t = np.arange(len(time_array[0]), dtype=np.int64)
-            else:
-                labels_t = np.asarray(labels[t])
-            t_col = np.full(labels_t.shape[0], t, dtype=np.int64)
-            time_array.insert(0, labels_t)
-            time_array.insert(0, t_col)
-            yield t, np.array(time_array).T, new_headers
-
-    def _stream_csv(self, level, path, labels=None):
-        first = True
-        headers_full = None
-        for _, frame_array, headers in self._iter_feature_arrays(level, labels=labels):
-            if first:
-                headers_full = ["t", "label"] + headers
-            df = pd.DataFrame(frame_array, columns=headers_full)
-            df.to_csv(path, index=False, mode="w" if first else "a", header=first)
-            first = False
-
-    def _save_dfs(self):
+    def _status(self, msg):
         if self.viewer is not None:
-            self.viewer.status = "Saving features to csv files."
-        pp = self.im_info.pipeline_paths
-        self._stream_csv(self.voxels, pp["features_voxels"])
-        if not self.skip_nodes:
-            self._stream_csv(self.nodes, pp["features_nodes"])
-        self._stream_csv(self.branches, pp["features_branches"], labels=self.branches.branch_label)
-        self._stream_csv(self.components, pp["features_organelles"],
-                         labels=self.components.component_label)
-        self._stream_csv(self.image, pp["features_image"])
-
-    def _save_adjacency_maps(self):
-        """Sparse edge lists (reference hierarchical.py:433-609)."""
-        v_n, v_b, v_o = [], [], []
-        for t in range(len(self.voxels.time)):
-            if not self.skip_nodes:
-                edges_vn = []
-                for voxel_idx, nodes in enumerate(self.voxels.node_labels[t]):
-                    if nodes is None or len(nodes) == 0:
-                        continue
-                    for n in nodes:
-                        edges_vn.append((voxel_idx, int(n)))
-                v_n.append(np.array(edges_vn, np.int64) if edges_vn else np.zeros((0, 2), np.int64))
-
-            branch_labels = np.asarray(self.voxels.branch_labels[t], np.int64)
-            mask = branch_labels > 0
-            if mask.any():
-                v_b.append(np.column_stack((np.nonzero(mask)[0], branch_labels[mask] - 1)))
-            else:
-                v_b.append(np.zeros((0, 2), np.int64))
-
-            component_labels = np.asarray(self.voxels.component_labels[t], np.int64)
-            mask = component_labels > 0
-            if mask.any():
-                v_o.append(np.column_stack((np.nonzero(mask)[0], component_labels[mask])))
-            else:
-                v_o.append(np.zeros((0, 2), np.int64))
-
-        def _label_edges(member_labels, level_labels):
-            member_labels = np.asarray(member_labels, np.int64)
-            level_labels = np.asarray(level_labels, np.int64)
-            if len(level_labels) == 0:
-                return np.zeros((0, 2), np.int64)
-            max_label = int(level_labels.max())
-            label_to_idx = np.full(max_label + 1, -1, np.int64)
-            label_to_idx[level_labels] = np.arange(len(level_labels), dtype=np.int64)
-            clipped = np.clip(member_labels, 0, max_label)
-            idx = np.where(member_labels <= max_label, label_to_idx[clipped], -1)
-            mask = idx >= 0
-            return np.column_stack((np.nonzero(mask)[0], idx[mask]))
-
-        n_b, n_o = [], []
-        if not self.skip_nodes:
-            for t in range(len(self.nodes.time)):
-                n_b.append(_label_edges(self.nodes.branch_label[t], self.branches.branch_label[t]))
-                n_o.append(_label_edges(self.nodes.component_label[t],
-                                        self.components.component_label[t]))
-        b_o = []
-        for t in range(len(self.branches.time)):
-            b_o.append(_label_edges(self.branches.component_label[t],
-                                    self.components.component_label[t]))
-
-        edges = {"v_b": v_b, "v_n": v_n, "v_o": v_o, "n_b": n_b, "n_o": n_o, "b_o": b_o}
-        with open(self.im_info.pipeline_paths["adjacency_maps"], "wb") as f:
-            pickle.dump(edges, f)
+            self.viewer.status = msg
 
     def _run_hierarchy(self):
         self._get_t()
@@ -375,14 +788,77 @@ class Hierarchy:
             self.flow_interpolator_bw = None
 
         self._allocate_memory()
-        self._get_hierarchies()
-        self._save_dfs()
-        if self.viewer is not None:
-            self.viewer.status = "Finalizing run."
+        pp = self.im_info.pipeline_paths
+        writers = {
+            "voxels": _CsvStream(pp["features_voxels"]),
+            "branches": _CsvStream(pp["features_branches"]),
+            "organelles": _CsvStream(pp["features_organelles"]),
+            "image": _CsvStream(pp["features_image"]),
+        }
+        if not self.skip_nodes:
+            writers["nodes"] = _CsvStream(pp["features_nodes"])
+
+        adjacency = {"v_b": [], "v_n": [], "v_o": [], "n_b": [], "n_o": [], "b_o": []}
+
+        for t in range(self.num_t):
+            self._status(f"Extracting features. Frame: {t + 1} of {self.num_t}.")
+            logger.info("Hierarchy: frame %d/%d", t + 1, self.num_t)
+            vox = _VoxelLevel(self, t)
+            nodes = None if self.skip_nodes else _NodeLevel(self, t, vox)
+            branches = _BranchLevel(self, t, vox, nodes)
+            components = _ComponentLevel(self, t, vox, nodes, branches)
+
+            n_vox = len(vox.coords)
+            writers["voxels"].write(t, np.arange(n_vox, dtype=np.int64), vox.columns())
+            if nodes is not None:
+                writers["nodes"].write(
+                    t, np.arange(len(nodes.nodes), dtype=np.int64), nodes.columns())
+            writers["branches"].write(t, branches.branch_label,
+                                      branches.columns(self.skip_nodes))
+            writers["organelles"].write(t, components.component_label,
+                                        components.columns(self.skip_nodes))
+            writers["image"].write(
+                t, np.zeros(1, np.int64),
+                _image_columns(vox, nodes, branches, components, self.skip_nodes))
+
+            if self.enable_adjacency:
+                self._collect_adjacency(adjacency, vox, nodes, branches, components)
+
+        self._status("Finalizing run.")
         if self.enable_adjacency:
-            self._save_adjacency_maps()
-        if self.viewer is not None:
-            self.viewer.status = "Done!"
+            with open(pp["adjacency_maps"], "wb") as f:
+                pickle.dump(adjacency, f)
+        self._status("Done!")
+
+    @staticmethod
+    def _label_edges(member_labels, level_labels):
+        """(member_idx, level_row) pairs for members whose label appears in
+        the level's row labels."""
+        idx = _ids_into(member_labels, np.asarray(level_labels, np.int64))
+        ok = idx >= 0
+        return np.column_stack((np.nonzero(ok)[0], idx[ok])).astype(np.int64)
+
+    def _collect_adjacency(self, adjacency, vox, nodes, branches, components):
+        """Sparse edge lists, same key layout and index conventions as the
+        reference's pickled maps (hierarchical.py:433-609)."""
+        mask_b = vox.branch_labels > 0
+        adjacency["v_b"].append(
+            np.column_stack((np.nonzero(mask_b)[0], vox.branch_labels[mask_b] - 1))
+            if mask_b.any() else np.zeros((0, 2), np.int64))
+        mask_o = vox.component_labels > 0
+        adjacency["v_o"].append(
+            np.column_stack((np.nonzero(mask_o)[0], vox.component_labels[mask_o]))
+            if mask_o.any() else np.zeros((0, 2), np.int64))
+        if nodes is not None:
+            order = np.lexsort((nodes.pair_node, nodes.pair_vox))
+            adjacency["v_n"].append(np.column_stack(
+                (nodes.pair_vox[order], nodes.pair_node[order])).astype(np.int64))
+            adjacency["n_b"].append(
+                self._label_edges(nodes.branch_label, branches.branch_label))
+            adjacency["n_o"].append(
+                self._label_edges(nodes.component_label, components.component_label))
+        adjacency["b_o"].append(
+            self._label_edges(branches.component_label, components.component_label))
 
     def run(self):
         def attempt(dev, low):
@@ -391,802 +867,3 @@ class Hierarchy:
 
         adaptive_run.run_with_ladder("Hierarchy", self.device, self.low_memory,
                                      self.im_info, attempt)
-
-
-class Voxels:
-    """Voxel-level features (reference hierarchical.py:683-1163)."""
-
-    def __init__(self, hierarchy: Hierarchy):
-        self.hierarchy = hierarchy
-        self.time = []
-        self.coords = []
-        self.x = []
-        self.y = []
-        self.z = []
-        self.intensity = []
-        self.structure = []
-        self.vec01 = []
-        self.vec12 = []
-        self.angular_acc = []
-        self.angular_vel = []
-        self.angular_vel_vector = []
-        self.linear_acc = []
-        self.linear_vel = []
-        self.linear_vel_vector = []
-        self.rel_angular_acc = []
-        self.rel_angular_vel = []
-        self.rel_linear_acc = []
-        self.rel_linear_vel = []
-        self.rel_directionality = []
-        self.node_labels = []
-        self.branch_labels = []
-        self.component_labels = []
-        self.image_name = []
-        self.node_dim0_lims = []
-        self.node_dim1_lims = []
-        self.node_dim2_lims = []
-        self.node_voxel_idxs = []
-
-        self.stats_to_aggregate = [
-            "linear_vel", "angular_vel", "linear_acc", "angular_acc",
-            "rel_linear_vel", "rel_angular_vel", "rel_linear_acc",
-            "rel_angular_acc", "rel_directionality", "structure", "intensity",
-        ]
-        self.features_to_save = self.stats_to_aggregate + ["x", "y", "z"]
-
-    # -- node-region assignment -----------------------------------------------
-    def _get_node_info(self, t, frame_coords):
-        """Radius-box voxel->node assignment (hierarchical.py:743-857)."""
-        h = self.hierarchy
-        skeleton_pixels = np.argwhere(h.im_pixel_class[t] > 0)
-        skeleton_radius = np.asarray(h.im_distance[t])[tuple(skeleton_pixels.T)]
-
-        def lims(dim, max_dim):
-            lo = (skeleton_pixels[:, dim] - skeleton_radius).astype(int)
-            hi = (skeleton_pixels[:, dim] + skeleton_radius).astype(int) + 1
-            lo = np.clip(lo, 0, max_dim)
-            hi = np.clip(hi, 0, max_dim)
-            return np.stack([lo, hi], axis=1)
-
-        axes = h.im_info.axes
-        if not h.im_info.no_z:
-            max0 = h.im_info.shape[axes.index("Z")]
-            max1 = h.im_info.shape[axes.index("Y")]
-            max2 = h.im_info.shape[axes.index("X")]
-            lims0, lims1, lims2 = lims(0, max0), lims(1, max1), lims(2, max2)
-        else:
-            max0 = h.im_info.shape[axes.index("Y")]
-            max1 = h.im_info.shape[axes.index("X")]
-            lims0, lims1, lims2 = lims(0, max0), lims(1, max1), None
-
-        self.node_dim0_lims.append(lims0)
-        self.node_dim1_lims.append(lims1)
-        self.node_dim2_lims.append(lims2)
-
-        frame_coords = np.asarray(frame_coords)
-        num_nodes = len(skeleton_pixels)
-        num_voxels = len(frame_coords)
-        chunk_size = h._resolve_node_chunk_size(num_nodes, num_voxels)
-
-        per_voxel_nodes = []
-        node_voxel_idxs = [[] for _ in range(num_nodes)]
-        for start in range(0, num_voxels, chunk_size):
-            end = min(start + chunk_size, num_voxels)
-            cc = frame_coords[start:end]
-            mask = (lims0[:, 0][:, None] <= cc[:, 0]) & (lims0[:, 1][:, None] >= cc[:, 0])
-            mask &= (lims1[:, 0][:, None] <= cc[:, 1]) & (lims1[:, 1][:, None] >= cc[:, 1])
-            if lims2 is not None:
-                mask &= (lims2[:, 0][:, None] <= cc[:, 2]) & (lims2[:, 1][:, None] >= cc[:, 2])
-            rows, cols = np.nonzero(mask)
-            voxel_nodes = [[] for _ in range(end - start)]
-            for r, c in zip(rows, cols):
-                voxel_nodes[c].append(r)
-                node_voxel_idxs[r].append(c + start)
-            per_voxel_nodes.extend(np.array(v, int) for v in voxel_nodes)
-
-        self.node_labels.append(per_voxel_nodes)
-        self.node_voxel_idxs.append([np.array(v, int) for v in node_voxel_idxs])
-
-    # -- motility ---------------------------------------------------------------
-    def _get_min_euc_dist(self, t, vec):
-        """Representative (min |vec|) voxel index per branch label, vectorised."""
-        euc = np.linalg.norm(vec, axis=1)
-        branch_labels = np.asarray(self.branch_labels[t], np.int64)
-        if branch_labels.size == 0:
-            return np.array([], float)
-        max_label = int(branch_labels.max())
-        idxmin = np.full(max_label + 1, np.nan)
-        valid = ~np.isnan(euc)
-        if not valid.any():
-            return idxmin
-        # lexsort: group by label, then by distance; first entry per label wins
-        lbl_v = branch_labels[valid]
-        euc_v = euc[valid]
-        idx_v = np.nonzero(valid)[0]
-        order = np.lexsort((euc_v, lbl_v))
-        lbl_sorted = lbl_v[order]
-        first = np.ones(len(order), bool)
-        first[1:] = lbl_sorted[1:] != lbl_sorted[:-1]
-        idxmin[lbl_sorted[first]] = idx_v[order[first]]
-        return idxmin
-
-    def _get_ref_coords(self, coords_a, coords_b, idxmin, t):
-        branch_labels = np.asarray(self.branch_labels[t], np.int64)
-        max_label = len(idxmin) - 1
-        clipped = np.clip(branch_labels, 0, max_label)
-        vals = idxmin[clipped]
-        vals_no_nan = np.nan_to_num(vals, nan=0.0).astype(int)
-        ref_a = coords_a[vals_no_nan].copy()
-        ref_b = coords_b[vals_no_nan].copy()
-        ref_a[np.isnan(vals)] = np.nan
-        ref_b[np.isnan(vals)] = np.nan
-        return ref_a, ref_b
-
-    def _get_linear_velocity(self, ra, rb):
-        dt = self.hierarchy.im_info.dim_res["T"]
-        lin_vel = (rb - ra) / dt
-        return lin_vel, np.linalg.norm(lin_vel, axis=1), None
-
-    def _get_angular_velocity_2d(self, ra, rb):
-        theta_a = np.arctan2(ra[:, 1], ra[:, 0])
-        theta_b = np.arctan2(rb[:, 1], rb[:, 0])
-        delta = (theta_b - theta_a + np.pi) % (2 * np.pi) - np.pi
-        dt = self.hierarchy.im_info.dim_res["T"]
-        ang_vel = delta / dt
-        return ang_vel, np.abs(ang_vel), np.sign(ang_vel)
-
-    def _get_angular_velocity_3d(self, ra, rb):
-        cross = np.cross(ra, rb, axis=1)
-        norm = np.linalg.norm(ra, axis=1) * np.linalg.norm(rb, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ang_disp = (cross.T / norm.T).T
-        ang_disp[norm == 0] = [np.nan] * 3
-        dt = self.hierarchy.im_info.dim_res["T"]
-        ang_vel = ang_disp / dt
-        mag = np.linalg.norm(ang_vel, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            orient = (ang_vel.T / mag).T
-        orient = np.where(np.isinf(orient), np.nan, orient)
-        return ang_vel, mag, orient
-
-    def _get_angular_velocity(self, ra, rb):
-        if self.hierarchy.im_info.no_z:
-            return self._get_angular_velocity_2d(ra, rb)
-        return self._get_angular_velocity_3d(ra, rb)
-
-    def _get_motility_stats(self, t, coords_1_px):
-        h = self.hierarchy
-        coords_1_px = coords_1_px.astype("float32")
-        dims = 2 if h.im_info.no_z else 3
-        n = len(coords_1_px)
-
-        def nan_vec():
-            return np.full((n, dims), np.nan, np.float32)
-
-        def nan_arr():
-            return np.full(n, np.nan, np.float32)
-
-        if (not h.enable_motility or h.flow_interpolator_fw is None
-                or h.flow_interpolator_bw is None or h.num_t is None or h.num_t < 2):
-            self.vec01.append(nan_vec())
-            self.vec12.append(nan_vec())
-            self.linear_vel_vector.append(nan_vec())
-            self.linear_vel.append(nan_arr())
-            self.angular_vel_vector.append(nan_arr() if dims == 2 else nan_vec())
-            self.angular_vel.append(nan_arr())
-            self.rel_linear_vel.append(nan_arr())
-            self.rel_angular_vel.append(nan_arr())
-            self.rel_directionality.append(nan_arr())
-            self.linear_acc.append(nan_arr())
-            self.angular_acc.append(nan_arr())
-            self.rel_linear_acc.append(nan_arr())
-            self.rel_angular_acc.append(nan_arr())
-            return
-
-        spacing = np.asarray(h.spacing)
-        vec01 = []
-        vec12 = []
-        if t > 0:
-            vec01_px = h.flow_interpolator_bw.interpolate_coord(coords_1_px, t)
-            vec01 = vec01_px * spacing
-            self.vec01.append(vec01.astype(np.float32))
-        else:
-            self.vec01.append(nan_vec())
-        if t < h.num_t - 1:
-            vec12_px = h.flow_interpolator_fw.interpolate_coord(coords_1_px, t)
-            vec12 = vec12_px * spacing
-            self.vec12.append(vec12.astype(np.float32))
-        else:
-            self.vec12.append(nan_vec())
-
-        coords_1 = coords_1_px * spacing
-
-        if len(vec01) and len(vec12):
-            coords_0 = (coords_1_px - vec01_px) * spacing
-            lin_vel_01v, lin_vel_mag_01, _ = self._get_linear_velocity(coords_0, coords_1)
-            ang_vel_01, _, _ = self._get_angular_velocity(coords_0, coords_1)
-            idxmin01 = self._get_min_euc_dist(t, vec01)
-            ref01 = self._get_ref_coords(coords_0, coords_1, idxmin01, t)
-            ref01[0][np.isnan(vec01)] = np.nan
-            ref01[1][np.isnan(vec01)] = np.nan
-            r0_rel = coords_0 - ref01[0]
-            r1_rel = coords_1 - ref01[1]
-            lin_vel_rel_01v, _, _ = self._get_linear_velocity(r0_rel, r1_rel)
-            ang_vel_rel_01, _, _ = self._get_angular_velocity(r0_rel, r1_rel)
-
-        if len(vec12):
-            coords_2 = (coords_1_px + vec12_px) * spacing
-            lin_vel, lin_vel_mag, _ = self._get_linear_velocity(coords_1, coords_2)
-            ang_vel, ang_vel_mag, _ = self._get_angular_velocity(coords_1, coords_2)
-            idxmin12 = self._get_min_euc_dist(t, vec12)
-            ref12 = self._get_ref_coords(coords_1, coords_2, idxmin12, t)
-            ref12[0][np.isnan(vec12)] = np.nan
-            ref12[1][np.isnan(vec12)] = np.nan
-            r1_rel_12 = coords_1 - ref12[0]
-            r2_rel_12 = coords_2 - ref12[1]
-            lin_vel_rel, lin_vel_mag_rel, _ = self._get_linear_velocity(r1_rel_12, r2_rel_12)
-            ang_vel_rel, ang_vel_mag_rel, _ = self._get_angular_velocity(r1_rel_12, r2_rel_12)
-
-            r2m = np.linalg.norm(r2_rel_12, axis=1)
-            r1m = np.linalg.norm(r1_rel_12, axis=1)
-            denom = r2m + r1m
-            directionality_rel = np.divide(
-                np.abs(r2m - r1m), denom,
-                out=np.full_like(denom, np.nan, dtype=np.float64), where=denom != 0)
-        else:
-            lin_vel, lin_vel_mag = nan_vec(), nan_arr()
-            ang_vel_mag = nan_arr()
-            lin_vel_rel, lin_vel_mag_rel = nan_vec(), nan_arr()
-            ang_vel_mag_rel = nan_arr()
-            directionality_rel = nan_arr()
-            ang_vel = nan_arr() if dims == 2 else nan_vec()
-            ang_vel_rel = nan_arr() if dims == 2 else nan_vec()
-
-        self.linear_vel_vector.append(np.asarray(lin_vel, np.float32))
-        self.linear_vel.append(np.asarray(lin_vel_mag, np.float32))
-        self.angular_vel_vector.append(np.asarray(ang_vel, np.float32))
-        self.angular_vel.append(np.asarray(ang_vel_mag, np.float32))
-        self.rel_linear_vel.append(np.asarray(lin_vel_mag_rel, np.float32))
-        self.rel_angular_vel.append(np.asarray(ang_vel_mag_rel, np.float32))
-        self.rel_directionality.append(np.asarray(directionality_rel, np.float32))
-
-        if len(vec01) and len(vec12):
-            dt = h.im_info.dim_res["T"]
-            lin_acc = (lin_vel - lin_vel_01v) / dt
-            lin_acc_mag = np.linalg.norm(lin_acc, axis=1)
-            ang_acc = (np.asarray(ang_vel) - np.asarray(ang_vel_01)) / dt
-            lin_acc_rel = (lin_vel_rel - lin_vel_rel_01v) / dt
-            lin_acc_rel_mag = np.linalg.norm(lin_acc_rel, axis=1)
-            ang_acc_rel = (np.asarray(ang_vel_rel) - np.asarray(ang_vel_rel_01)) / dt
-            if h.im_info.no_z:
-                ang_acc_mag = np.abs(ang_acc)
-                ang_acc_rel_mag = np.abs(ang_acc_rel)
-            else:
-                ang_acc_mag = np.linalg.norm(ang_acc, axis=1)
-                ang_acc_rel_mag = np.linalg.norm(ang_acc_rel, axis=1)
-        else:
-            lin_acc_mag = nan_arr()
-            ang_acc_mag = nan_arr()
-            lin_acc_rel_mag = nan_arr()
-            ang_acc_rel_mag = nan_arr()
-
-        self.linear_acc.append(np.asarray(lin_acc_mag, np.float32))
-        self.angular_acc.append(np.asarray(ang_acc_mag, np.float32))
-        self.rel_linear_acc.append(np.asarray(lin_acc_rel_mag, np.float32))
-        self.rel_angular_acc.append(np.asarray(ang_acc_rel_mag, np.float32))
-
-    def _run_frame(self, t):
-        h = self.hierarchy
-        frame_coords = np.argwhere(np.asarray(h.label_components[t]) > 0)
-        self.coords.append(frame_coords)
-        self.component_labels.append(np.asarray(h.label_components[t])[tuple(frame_coords.T)])
-        self.branch_labels.append(np.asarray(h.label_branches[t])[tuple(frame_coords.T)])
-        self.intensity.append(np.asarray(h.im_raw[t])[tuple(frame_coords.T)])
-        if not h.im_info.no_z:
-            self.z.append(frame_coords[:, 0])
-            self.y.append(frame_coords[:, 1])
-            self.x.append(frame_coords[:, 2])
-        else:
-            self.z.append(np.full(len(frame_coords), np.nan))
-            self.y.append(frame_coords[:, 0])
-            self.x.append(frame_coords[:, 1])
-        self.structure.append(np.asarray(h.im_struct[t])[tuple(frame_coords.T)])
-        self.time.append(np.full(frame_coords.shape[0], t, int))
-        self.image_name.append(
-            np.full(frame_coords.shape[0], h.im_info.file_info.filename_no_ext, object))
-        if not h.skip_nodes:
-            self._get_node_info(t, frame_coords)
-        self._get_motility_stats(t, frame_coords)
-
-    def run(self):
-        if self.hierarchy.num_t is None:
-            self.hierarchy.num_t = 1
-        for t in range(self.hierarchy.num_t):
-            if self.hierarchy.viewer is not None:
-                self.hierarchy.viewer.status = (
-                    f"Extracting voxel features. Frame: {t + 1} of {self.hierarchy.num_t}.")
-            self._run_frame(t)
-
-
-class Nodes:
-    """Node (skeleton voxel) features (reference hierarchical.py:1275-1441)."""
-
-    def __init__(self, hierarchy: Hierarchy):
-        self.hierarchy = hierarchy
-        self.time = []
-        self.nodes = []
-        self.aggregate_voxel_metrics = []
-        self.z = []
-        self.y = []
-        self.x = []
-        self.node_thickness = []
-        self.divergence = []
-        self.convergence = []
-        self.vergere = []
-        self.stats_to_aggregate = ["divergence", "convergence", "vergere", "node_thickness"]
-        self.features_to_save = self.stats_to_aggregate + ["x", "y", "z"]
-        self.voxel_idxs = self.hierarchy.voxels.node_voxel_idxs
-        self.branch_label = []
-        self.component_label = []
-        self.image_name = []
-
-    def _get_aggregate_voxel_stats(self, t):
-        self.aggregate_voxel_metrics.append(aggregate_stats_for_class(
-            self.hierarchy.voxels, t, self.hierarchy.voxels.node_voxel_idxs[t],
-            low_memory=self.hierarchy.low_memory))
-
-    def _get_node_stats(self, t):
-        h = self.hierarchy
-        radius = distance_check(np.asarray(h.im_border_mask[t]), self.nodes[t], h.spacing)
-        self.node_thickness.append(radius * 2)
-
-        divergence, convergence, vergere = [], [], []
-        z, y, x = [], [], []
-        spacing = h.spacing
-        for i, node in enumerate(self.nodes[t]):
-            vox_idxs = self.voxel_idxs[t][i]
-            if len(vox_idxs) == 0:
-                for lst in (divergence, convergence, vergere, z, y, x):
-                    lst.append(np.nan)
-                continue
-            coords_vox = h.voxels.coords[t][vox_idxs]
-            if not h.im_info.no_z:
-                z.append(np.nanmean(coords_vox[:, 0]) * spacing[0])
-                y.append(np.nanmean(coords_vox[:, 1]) * spacing[1])
-                x.append(np.nanmean(coords_vox[:, 2]) * spacing[2])
-            else:
-                z.append(np.nan)
-                y.append(np.nanmean(coords_vox[:, 0]) * spacing[0])
-                x.append(np.nanmean(coords_vox[:, 1]) * spacing[1])
-
-            dist = (coords_vox - node).astype(float)
-            mag = np.linalg.norm(dist, axis=1, keepdims=True)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                direction = np.divide(dist, mag, out=np.full_like(dist, np.nan), where=mag != 0)
-            vec01 = h.voxels.vec01[t][vox_idxs]
-            vec12 = h.voxels.vec12[t][vox_idxs]
-            dot01 = -np.nanmean(np.sum(-vec01 * direction, axis=1))
-            convergence.append(dot01)
-            dot12 = np.nanmean(np.sum(vec12 * direction, axis=1))
-            divergence.append(dot12)
-            vergere.append(dot01 + dot12)
-
-        self.divergence.append(divergence)
-        self.convergence.append(convergence)
-        self.vergere.append(vergere)
-        self.z.append(z)
-        self.y.append(y)
-        self.x.append(x)
-
-    def _run_frame(self, t):
-        h = self.hierarchy
-        frame_skel_coords = np.argwhere(np.asarray(h.im_pixel_class[t]) > 0)
-        self.nodes.append(frame_skel_coords)
-        self.time.append(np.full(frame_skel_coords.shape[0], t, int))
-        self.component_label.append(
-            np.asarray(h.label_components[t])[tuple(frame_skel_coords.T)])
-        self.branch_label.append(
-            np.asarray(h.label_branches[t])[tuple(frame_skel_coords.T)])
-        self.image_name.append(
-            np.full(frame_skel_coords.shape[0], h.im_info.file_info.filename_no_ext, object))
-        self._get_aggregate_voxel_stats(t)
-        self._get_node_stats(t)
-
-    def run(self):
-        if self.hierarchy.skip_nodes:
-            return
-        for t in range(self.hierarchy.num_t):
-            if self.hierarchy.viewer is not None:
-                self.hierarchy.viewer.status = (
-                    f"Extracting node features. Frame: {t + 1} of {self.hierarchy.num_t}.")
-            self._run_frame(t)
-
-
-class Branches:
-    """Branch-level features (reference hierarchical.py:1444-1878)."""
-
-    def __init__(self, hierarchy: Hierarchy):
-        self.hierarchy = hierarchy
-        self.time = []
-        self.branch_label = []
-        self.aggregate_voxel_metrics = []
-        self.aggregate_node_metrics = []
-        self.z = []
-        self.y = []
-        self.x = []
-        self.branch_length = []
-        self.branch_thickness = []
-        self.branch_aspect_ratio = []
-        self.branch_tortuosity = []
-        self.branch_area = []
-        self.branch_axis_length_maj = []
-        self.branch_axis_length_min = []
-        self.branch_extent = []
-        self.branch_solidity = []
-        self.reassigned_label = []
-        self.branch_idxs = []
-        self.component_label = []
-        self.image_name = []
-
-        self.stats_to_aggregate = [
-            "branch_length", "branch_thickness", "branch_aspect_ratio",
-            "branch_tortuosity", "branch_area", "branch_axis_length_maj",
-            "branch_axis_length_min", "branch_extent", "branch_solidity",
-            "reassigned_label",
-        ]
-        self.features_to_save = self.stats_to_aggregate + ["x", "y", "z"]
-
-    def _get_aggregate_stats(self, t):
-        voxel_labels = self.hierarchy.voxels.branch_labels[t]
-        grouped = _group_indices_by_label(voxel_labels)
-        self.aggregate_voxel_metrics.append(aggregate_stats_for_class(
-            self.hierarchy.voxels, t, grouped, low_memory=self.hierarchy.low_memory))
-        if not self.hierarchy.skip_nodes:
-            node_labels = self.hierarchy.nodes.branch_label[t]
-            grouped_nodes = _group_indices_by_label(node_labels)
-            self.aggregate_node_metrics.append(aggregate_stats_for_class(
-                self.hierarchy.nodes, t, grouped_nodes, low_memory=self.hierarchy.low_memory))
-
-    def _branch_lengths_and_degrees(self, t):
-        """Per-label centerline length + per-voxel same-label degree via a
-        half-neighbourhood offset sweep (reference hierarchical.py:1515-1630)."""
-        L = np.asarray(self.hierarchy.im_skel[t])
-        spacing = self.hierarchy.spacing
-        ndim = L.ndim
-        max_label = int(L.max())
-        lengths = np.zeros(max_label + 1, np.float32)
-        degree = np.zeros(L.shape, np.uint8)
-
-        import itertools
-
-        offsets = []
-        for off in itertools.product((-1, 0, 1), repeat=ndim):
-            if all(o == 0 for o in off):
-                continue
-            # half neighbourhood: lexicographically positive offsets
-            if off > (0,) * ndim:
-                offsets.append(off)
-
-        for off in offsets:
-            src = tuple(slice(max(0, o), L.shape[d] + min(0, o)) for d, o in enumerate(off))
-            dst = tuple(slice(max(0, -o), L.shape[d] - max(0, o)) for d, o in enumerate(off))
-            base = L[src]
-            neigh = L[dst]
-            same = (base > 0) & (base == neigh)
-            if not same.any():
-                continue
-            degree[src] += same.astype(np.uint8)
-            degree[dst] += same.astype(np.uint8)
-            edge_len = np.sqrt(sum((o * s) ** 2 for o, s in zip(off, spacing)))
-            lengths += np.bincount(
-                base[same].ravel(),
-                weights=np.full(int(same.sum()), edge_len, np.float32),
-                minlength=max_label + 1,
-            ).astype(np.float32)
-        return lengths, degree
-
-    def _get_branch_stats(self, t):
-        h = self.hierarchy
-        branch_idxs_arr = np.asarray(self.branch_idxs[t])
-        L = np.asarray(h.im_skel[t])
-        spacing = h.spacing
-        no_z = h.im_info.no_z
-
-        label_lengths, degree = self._branch_lengths_and_degrees(t)
-        unique_labels = np.unique(L[L > 0])
-        if unique_labels.size == 0:
-            for lst in (self.branch_tortuosity, self.branch_aspect_ratio,
-                        self.branch_thickness, self.branch_length, self.branch_area,
-                        self.branch_axis_length_maj, self.branch_axis_length_min,
-                        self.branch_extent, self.branch_solidity, self.reassigned_label,
-                        self.z, self.y, self.x):
-                lst.append([])
-            return
-
-        deg_branch = degree[tuple(branch_idxs_arr.T)]
-        tips = np.nonzero(deg_branch == 1)[0]
-        lone_tips = np.nonzero(deg_branch == 0)[0]
-        tip_coords = branch_idxs_arr[tips]
-        lone_tip_coords = branch_idxs_arr[lone_tips]
-        tip_labels = L[tuple(tip_coords.T)] if len(tip_coords) else np.array([], int)
-        lone_tip_labels = L[tuple(lone_tip_coords.T)] if len(lone_tip_coords) else np.array([], int)
-
-        radii = distance_check(np.asarray(h.im_border_mask[t]), branch_idxs_arr, spacing)
-        tip_radii = radii[tips] if len(tips) else np.array([], float)
-        lone_tip_radii = radii[lone_tips] if len(lone_tips) else np.array([], float)
-
-        label_to_row = {int(lbl): i for i, lbl in enumerate(unique_labels)}
-        base_lengths = label_lengths[unique_labels].astype(np.float32)
-        for lbl, radius in zip(lone_tip_labels, lone_tip_radii):
-            base_lengths[label_to_row[int(lbl)]] += 2.0 * radius
-        for lbl, radius in zip(tip_labels, tip_radii):
-            base_lengths[label_to_row[int(lbl)]] += radius
-
-        # median thickness per label (sorted-group median)
-        labels_vox = L[tuple(branch_idxs_arr.T)]
-        thicknesses = radii * 2.0
-        median_thickness = np.full(len(unique_labels), np.nan, np.float32)
-        order = np.argsort(labels_vox, kind="stable")
-        sl = labels_vox[order]
-        st = thicknesses[order]
-        uq, starts = np.unique(sl, return_index=True)
-        ends = np.append(starts[1:], len(sl))
-        for u, s, e in zip(uq, starts, ends):
-            median_thickness[label_to_row[int(u)]] = np.median(st[s:e])
-
-        swap = (~np.isnan(median_thickness)) & (median_thickness > base_lengths)
-        median_thickness[swap], base_lengths[swap] = base_lengths[swap], median_thickness[swap].copy()
-
-        aspect = np.divide(base_lengths, median_thickness,
-                           out=np.full_like(base_lengths, np.nan), where=median_thickness != 0)
-
-        tortuosity = np.ones(len(unique_labels), np.float32)
-        for i, lbl in enumerate(unique_labels):
-            coords_lbl = tip_coords[tip_labels == lbl]
-            if coords_lbl.shape[0] >= 2:
-                p0, p1 = coords_lbl[0], coords_lbl[1]
-                tip_dist = np.sqrt(sum(((a - b) * s) ** 2
-                                       for a, b, s in zip(p0, p1, spacing)))
-                tortuosity[i] = base_lengths[i] / tip_dist if tip_dist > 0 else 1.0
-
-        self.branch_tortuosity.append(tortuosity)
-        self.branch_aspect_ratio.append(aspect)
-        self.branch_thickness.append(median_thickness)
-        self.branch_length.append(base_lengths)
-
-        regions = regionprops(np.asarray(h.label_branches[t]).astype(np.int64), spacing=spacing)
-        areas, maj, mino, extent, solidity, reassigned, z, y, x = ([] for _ in range(9))
-        for region in regions:
-            reassigned_region = np.nan
-            if not h.im_info.no_t and h.im_branch_reassigned is not None:
-                vals = np.asarray(h.im_branch_reassigned[t])[tuple(region.coords.T)]
-                if vals.size > 0:
-                    reassigned_region = np.argmax(np.bincount(vals))
-            reassigned.append(reassigned_region)
-            areas.append(region.area)
-            maj.append(region.major_axis_length)
-            mino.append(region.minor_axis_length)
-            extent.append(region.extent)
-            solidity.append(region.solidity)
-            if not no_z:
-                z.append(region.centroid[0])
-                y.append(region.centroid[1])
-                x.append(region.centroid[2])
-            else:
-                z.append(np.nan)
-                y.append(region.centroid[0])
-                x.append(region.centroid[1])
-        self.branch_area.append(areas)
-        self.branch_axis_length_maj.append(maj)
-        self.branch_axis_length_min.append(mino)
-        self.branch_extent.append(extent)
-        self.branch_solidity.append(solidity)
-        self.reassigned_label.append(reassigned)
-        self.z.append(z)
-        self.y.append(y)
-        self.x.append(x)
-
-    def _run_frame(self, t):
-        h = self.hierarchy
-        frame_branch_idxs = np.argwhere(np.asarray(h.im_skel[t]) > 0)
-        self.branch_idxs.append(frame_branch_idxs)
-        skel_labels = np.asarray(h.im_skel[t])[tuple(frame_branch_idxs.T)]
-
-        if skel_labels.size == 0:
-            self.time.append(np.array([], int))
-            self.component_label.append(np.array([], int))
-            self.branch_label.append(np.array([], int))
-            self.image_name.append(np.array([], object))
-            self.aggregate_voxel_metrics.append({})
-            if not h.skip_nodes:
-                self.aggregate_node_metrics.append({})
-            for lst in (self.branch_length, self.branch_thickness, self.branch_aspect_ratio,
-                        self.branch_tortuosity, self.branch_area, self.branch_axis_length_maj,
-                        self.branch_axis_length_min, self.branch_extent, self.branch_solidity,
-                        self.reassigned_label, self.z, self.y, self.x):
-                lst.append([])
-            return
-
-        unique_branch_labels = np.unique(skel_labels)
-        unique_branch_labels = unique_branch_labels[unique_branch_labels > 0]
-        num_branches = len(unique_branch_labels)
-        self.time.append(np.full(num_branches, t, int))
-
-        dims = 2 if h.im_info.no_z else 3
-        frame_branch_coords = np.zeros((num_branches, dims), int)
-        for idx, lbl in enumerate(unique_branch_labels):
-            voxels = frame_branch_idxs[skel_labels == lbl]
-            if len(voxels):
-                frame_branch_coords[idx] = voxels[0]
-        self.component_label.append(
-            np.asarray(h.label_components[t])[tuple(frame_branch_coords.T)])
-        self.branch_label.append(unique_branch_labels.astype(int))
-        self.image_name.append(np.full(num_branches, h.im_info.file_info.filename_no_ext, object))
-
-        self._get_aggregate_stats(t)
-        self._get_branch_stats(t)
-
-    def run(self):
-        for t in range(self.hierarchy.num_t):
-            if self.hierarchy.viewer is not None:
-                self.hierarchy.viewer.status = (
-                    f"Extracting branch features. Frame: {t + 1} of {self.hierarchy.num_t}.")
-            self._run_frame(t)
-
-
-class Components:
-    """Organelle-level features (reference hierarchical.py:1880-2043)."""
-
-    def __init__(self, hierarchy: Hierarchy):
-        self.hierarchy = hierarchy
-        self.time = []
-        self.component_label = []
-        self.aggregate_voxel_metrics = []
-        self.aggregate_node_metrics = []
-        self.aggregate_branch_metrics = []
-        self.z = []
-        self.y = []
-        self.x = []
-        self.organelle_area = []
-        self.organelle_axis_length_maj = []
-        self.organelle_axis_length_min = []
-        self.organelle_extent = []
-        self.organelle_solidity = []
-        self.reassigned_label = []
-        self.image_name = []
-
-        self.stats_to_aggregate = [
-            "organelle_area", "organelle_axis_length_maj", "organelle_axis_length_min",
-            "organelle_extent", "organelle_solidity", "reassigned_label",
-        ]
-        self.features_to_save = self.stats_to_aggregate + ["x", "y", "z"]
-
-    def _get_aggregate_stats(self, t):
-        h = self.hierarchy
-        voxel_labels = h.voxels.component_labels[t]
-        self.aggregate_voxel_metrics.append(aggregate_stats_for_class(
-            h.voxels, t, _group_indices_by_label(voxel_labels), low_memory=h.low_memory))
-        if not h.skip_nodes:
-            node_labels = np.asarray(h.nodes.component_label[t])
-            uniq = np.unique(voxel_labels)
-            grouped = [np.nonzero(node_labels == lbl)[0] for lbl in uniq if lbl != 0]
-            self.aggregate_node_metrics.append(aggregate_stats_for_class(
-                h.nodes, t, grouped, low_memory=h.low_memory))
-        branch_labels = np.asarray(h.branches.component_label[t])
-        uniq = np.unique(voxel_labels)
-        grouped = [np.nonzero(branch_labels == lbl)[0] for lbl in uniq if lbl != 0]
-        self.aggregate_branch_metrics.append(aggregate_stats_for_class(
-            h.branches, t, grouped, low_memory=h.low_memory))
-
-    def _get_component_stats(self, t):
-        h = self.hierarchy
-        regions = regionprops(np.asarray(h.label_components[t]).astype(np.int64),
-                              spacing=h.spacing)
-        areas, maj, mino, extent, solidity, reassigned, z, y, x = ([] for _ in range(9))
-        for region in regions:
-            reassigned_region = np.nan
-            if not h.im_info.no_t and h.im_obj_reassigned is not None:
-                vals = np.asarray(h.im_obj_reassigned[t])[tuple(region.coords.T)]
-                if vals.size > 0:
-                    reassigned_region = np.argmax(np.bincount(vals))
-            reassigned.append(reassigned_region)
-            areas.append(region.area)
-            maj.append(region.major_axis_length)
-            mino.append(region.minor_axis_length)
-            extent.append(region.extent)
-            solidity.append(region.solidity)
-            if not h.im_info.no_z:
-                z.append(region.centroid[0])
-                y.append(region.centroid[1])
-                x.append(region.centroid[2])
-            else:
-                z.append(np.nan)
-                y.append(region.centroid[0])
-                x.append(region.centroid[1])
-        self.organelle_area.append(areas)
-        self.organelle_axis_length_maj.append(maj)
-        self.organelle_axis_length_min.append(mino)
-        self.organelle_extent.append(extent)
-        self.organelle_solidity.append(solidity)
-        self.reassigned_label.append(reassigned)
-        self.z.append(z)
-        self.y.append(y)
-        self.x.append(x)
-
-    def _run_frame(self, t):
-        h = self.hierarchy
-        component_labels_t = np.asarray(h.label_components[t])
-        mask = component_labels_t > 0
-        if not mask.any():
-            self.component_label.append(np.array([], int))
-            self.time.append(np.array([], int))
-            self.image_name.append(np.array([], object))
-            self.aggregate_voxel_metrics.append({})
-            if not h.skip_nodes:
-                self.aggregate_node_metrics.append({})
-            self.aggregate_branch_metrics.append({})
-            for lst in (self.organelle_area, self.organelle_axis_length_maj,
-                        self.organelle_axis_length_min, self.organelle_extent,
-                        self.organelle_solidity, self.reassigned_label,
-                        self.z, self.y, self.x):
-                lst.append([])
-            return
-
-        frame_component_labels = np.unique(component_labels_t[mask])
-        self.component_label.append(frame_component_labels)
-        num_components = len(frame_component_labels)
-        self.time.append(np.full(num_components, t, int))
-        self.image_name.append(
-            np.full(num_components, h.im_info.file_info.filename_no_ext, object))
-        self._get_aggregate_stats(t)
-        self._get_component_stats(t)
-
-    def run(self):
-        for t in range(self.hierarchy.num_t):
-            if self.hierarchy.viewer is not None:
-                self.hierarchy.viewer.status = (
-                    f"Extracting organelle features. Frame: {t + 1} of {self.hierarchy.num_t}.")
-            self._run_frame(t)
-
-
-class Image:
-    """Whole-frame aggregations (reference hierarchical.py:2046-2128)."""
-
-    def __init__(self, hierarchy: Hierarchy):
-        self.hierarchy = hierarchy
-        self.time = []
-        self.image_name = []
-        self.aggregate_voxel_metrics = []
-        self.aggregate_node_metrics = []
-        self.aggregate_branch_metrics = []
-        self.aggregate_component_metrics = []
-        self.stats_to_aggregate = []
-        self.features_to_save = []
-
-    def _get_aggregate_stats(self, t):
-        h = self.hierarchy
-        self.aggregate_voxel_metrics.append(aggregate_stats_for_class(
-            h.voxels, t, [np.arange(len(h.voxels.coords[t]), dtype=int)],
-            low_memory=h.low_memory))
-        if not h.skip_nodes:
-            self.aggregate_node_metrics.append(aggregate_stats_for_class(
-                h.nodes, t, [np.arange(len(h.nodes.nodes[t]), dtype=int)],
-                low_memory=h.low_memory))
-        n_branches = len(h.branches.branch_length[t])
-        self.aggregate_branch_metrics.append(aggregate_stats_for_class(
-            h.branches, t, [np.arange(n_branches, dtype=int)], low_memory=h.low_memory))
-        n_components = len(h.components.organelle_area[t])
-        self.aggregate_component_metrics.append(aggregate_stats_for_class(
-            h.components, t, [np.arange(n_components, dtype=int)], low_memory=h.low_memory))
-
-    def _run_frame(self, t):
-        self.time.append(t)
-        self.image_name.append(self.hierarchy.im_info.file_info.filename_no_ext)
-        self._get_aggregate_stats(t)
-
-    def run(self):
-        for t in range(self.hierarchy.num_t):
-            if self.hierarchy.viewer is not None:
-                self.hierarchy.viewer.status = (
-                    f"Extracting image features. Frame: {t + 1} of {self.hierarchy.num_t}.")
-            self._run_frame(t)

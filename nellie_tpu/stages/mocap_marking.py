@@ -40,7 +40,12 @@ from nellie_tpu.kernels import edt
 from nellie_tpu.kernels.filters import binary_dilation, gaussian_laplace, maximum_filter
 from nellie_tpu.utils import adaptive_run
 from nellie_tpu.utils.base_logger import logger
-from nellie_tpu.utils.chunking import compute_chunk_shape, iter_chunks
+from nellie_tpu.utils.chunking import (
+    compute_chunk_shape,
+    crop_core,
+    iter_uniform_windows,
+    uniform_window_shapes,
+)
 
 
 @dataclass(frozen=True)
@@ -230,25 +235,38 @@ class Markers:
         return np.asarray(marker), np.asarray(distance), np.asarray(border)
 
     def _run_frame_chunked(self, t, intensity, mask, chunk_voxels=None):
+        """Uniform-shape halo windows (one XLA program per frame) with the
+        next chunk dispatched before the previous result is pulled."""
         shape = mask.shape
         chunk_shape = compute_chunk_shape(shape, chunk_voxels or self.max_chunk_voxels)
         halo = self._chunk_halo()
+        core_shape, _ = uniform_window_shapes(shape, chunk_shape, halo)
         marker = np.zeros(shape, np.uint8)
         distance = np.zeros(shape, np.float32)
         border = np.zeros(shape, np.uint8)
         frangi = (
             np.ascontiguousarray(self.im_frangi_memmap[t]) if self.use_im == "frangi" else None
         )
-        for core, ext, cie in iter_chunks(shape, chunk_shape, halo):
+        pending = None
+        for core, ext, offset in iter_uniform_windows(shape, chunk_shape, halo):
             m = jnp.asarray(np.ascontiguousarray(mask[ext]))
             i = jnp.asarray(np.ascontiguousarray(intensity[ext]))
             if frangi is not None:
                 mk, di, bo = markers_frame(i, m, jnp.asarray(np.ascontiguousarray(frangi[ext]), jnp.float32), self._params)
             else:
                 mk, di, bo = markers_frame_distance(i, m, self._params)
-            marker[core] = np.asarray(mk)[cie]
-            distance[core] = np.asarray(di)[cie]
-            border[core] = np.asarray(bo)[cie]
+            offs = jnp.asarray(offset, jnp.int32)
+            cur = (core, crop_core(mk, offs, core_shape),
+                   crop_core(di, offs, core_shape), crop_core(bo, offs, core_shape))
+            if pending is not None:
+                marker[pending[0]] = np.asarray(pending[1])
+                distance[pending[0]] = np.asarray(pending[2])
+                border[pending[0]] = np.asarray(pending[3])
+            pending = cur
+        if pending is not None:
+            marker[pending[0]] = np.asarray(pending[1])
+            distance[pending[0]] = np.asarray(pending[2])
+            border[pending[0]] = np.asarray(pending[3])
         return marker, distance, border
 
     # -- main loop -----------------------------------------------------------

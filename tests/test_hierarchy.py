@@ -1,47 +1,90 @@
-"""Hierarchy feature extraction tests: aggregation parity + regionprops."""
+"""Hierarchy feature extraction tests: on-device segment statistics vs the
+host oracle, branch geometry stencil, border distance, regionprops."""
 import numpy as np
 import pytest
 
-from nellie_tpu.stages.hierarchical import aggregate_stats_for_class
+from nellie_tpu.kernels.segstats import (
+    branch_geometry,
+    group_stats_host,
+    segment_nanstats,
+)
+from nellie_tpu.stages.hierarchical import _majority_by_label, border_distance
 from nellie_tpu.utils.regionprops import regionprops
 
 
-class FakeLevel:
-    def __init__(self, values, t=0):
-        self.stats_to_aggregate = ["intensity", "structure"]
-        self.intensity = [np.asarray(values)]
-        self.structure = [np.asarray(values) * 2 + 1]
+def test_segment_nanstats_vs_host_oracle(rng):
+    """The round-1 parity invariant, re-targeted: device segment reductions
+    must match the straightforward per-group numpy loop."""
+    n, groups = 500, 7
+    values = rng.normal(5, 2, (3, n)).astype(np.float32)
+    values[:, rng.random(n) < 0.1] = np.nan
+    seg = rng.integers(-1, groups, n).astype(np.int32)  # -1 rows drop
+    seg[seg == 3] = 2  # leave group 3 empty
+    dev = segment_nanstats(values, seg, groups)
+    host = group_stats_host(values, seg, groups)
+    for key in dev:
+        np.testing.assert_allclose(dev[key], host[key], rtol=2e-4, atol=1e-5,
+                                   equal_nan=True, err_msg=key)
 
 
-def test_low_memory_vs_vectorized_aggregation_parity(rng):
-    """The reference's key invariant (test_hierarchical_aggregation.py)."""
-    values = rng.normal(5, 2, 200).astype(np.float32)
-    values[rng.random(200) < 0.1] = np.nan
-    level = FakeLevel(values)
-    groups = [
-        np.arange(0, 50), np.arange(50, 53), np.array([], int),
-        np.arange(53, 200), np.array([7]),
-    ]
-    fast = aggregate_stats_for_class(level, 0, groups, low_memory=False)
-    slow = aggregate_stats_for_class(level, 0, groups, low_memory=True)
-    for stat in fast:
-        for key in fast[stat]:
-            np.testing.assert_allclose(
-                np.asarray(fast[stat][key], float).ravel(),
-                np.asarray(slow[stat][key], float).ravel(),
-                rtol=1e-6, equal_nan=True,
-                err_msg=f"{stat}/{key}",
-            )
+def test_segment_nanstats_values():
+    values = np.asarray([[1.0, 2.0, 3.0, np.nan, 10.0]])
+    seg = np.asarray([0, 0, 0, 0, 1])
+    agg = segment_nanstats(values, seg, 3)
+    assert agg["mean"][0][0] == pytest.approx(2.0)
+    assert agg["sum"][0][0] == pytest.approx(6.0)
+    assert agg["min"][0][0] == pytest.approx(1.0)
+    assert agg["max"][0][0] == pytest.approx(3.0)
+    assert agg["std_dev"][0][0] == pytest.approx(np.std([1.0, 2.0, 3.0]))
+    assert agg["mean"][0][1] == pytest.approx(10.0)
+    assert np.isnan(agg["mean"][0][2])  # empty group
+    assert np.isnan(agg["sum"][0][2])   # empty sum is NaN, not 0
 
 
-def test_aggregation_values(rng):
-    values = np.asarray([1.0, 2.0, 3.0, np.nan, 10.0])
-    level = FakeLevel(values)
-    agg = aggregate_stats_for_class(level, 0, [np.array([0, 1, 2, 3])], low_memory=False)
-    assert agg["intensity"]["mean"][0][0] == pytest.approx(2.0)
-    assert agg["intensity"]["sum"][0][0] == pytest.approx(6.0)
-    assert agg["intensity"]["min"][0][0] == pytest.approx(1.0)
-    assert agg["intensity"]["max"][0][0] == pytest.approx(3.0)
+def test_branch_geometry_line():
+    """A straight 5-voxel line: length 4 edges, tips have degree 1."""
+    skel = np.zeros((3, 3, 7), np.int32)
+    skel[1, 1, 1:6] = 4
+    lengths, degree = branch_geometry(skel, (1.0, 1.0, 1.0))
+    assert lengths[4] == pytest.approx(4.0)
+    assert degree[1, 1, 1] == 1 and degree[1, 1, 5] == 1
+    assert (degree[1, 1, 2:5] == 2).all()
+
+
+def test_branch_geometry_anisotropic_diagonal():
+    skel = np.zeros((4, 4), np.int32)
+    for i in range(4):
+        skel[i, i] = 2
+    lengths, degree = branch_geometry(skel, (2.0, 1.0))
+    assert lengths[2] == pytest.approx(3 * np.sqrt(5.0))
+    # two labels don't merge
+    skel[0, 3] = 5
+    lengths, _ = branch_geometry(skel, (2.0, 1.0))
+    assert lengths[5] == pytest.approx(0.0)
+
+
+def test_border_distance_matches_bruteforce(rng):
+    border = np.zeros((10, 16, 16), bool)
+    border[0, :, :] = True
+    border[5, 8, 3] = True
+    coords = rng.integers(0, (10, 16, 16), (50, 3))
+    spacing = (0.5, 0.2, 0.2)
+    got = border_distance(border, coords, spacing)
+    bc = np.argwhere(border) * spacing
+    want = np.sqrt(((coords * spacing)[:, None, :] - bc[None]) ** 2).sum(2).min(1) ** 0.5
+    want = np.linalg.norm((coords * spacing)[:, None, :] - bc[None], axis=2).min(1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_majority_by_label():
+    labels = np.array([1, 1, 1, 2, 2, 3])
+    values = np.array([7, 7, 9, 5, 4, 0])
+    rows = np.array([1, 2, 3, 4])
+    got = _majority_by_label(labels, values, rows)
+    assert got[0] == 7          # majority
+    assert got[1] == 4          # tie -> smallest value (bincount argmax)
+    assert got[2] == 0
+    assert np.isnan(got[3])     # absent label
 
 
 def test_regionprops_basic_2d():
