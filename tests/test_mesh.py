@@ -71,3 +71,34 @@ def test_filter_label_stages_with_mesh(tmp_path):
     iou = (fg_s & fg_m).sum() / max(1, (fg_s | fg_m).sum())
     assert iou > 0.999
     assert l_single.max() == l_mesh.max()  # same component count
+
+
+def test_full_pipeline_step_sharded_parity():
+    """All seven stages' dense step on the 8-device mesh (t=2 x z=4) must
+    match single-device execution structurally (labels/skel/markers)."""
+    from nellie_tpu.mesh.pipeline_step import default_step_params, full_pipeline_step
+
+    params = default_step_params(
+        spacing=(0.5, 0.2, 0.2), sigmas=(0.75, 0.95),
+        marker_cap=32, voxel_cap=256, label_cap=16)
+    rng = np.random.default_rng(0)
+    z, y, x = np.mgrid[0:16, 0:32, 0:32]
+    frames = []
+    for t in range(2):
+        tube = 800.0 * np.exp(
+            -(((z - 8) ** 2) * 0.3 + (y - 16 - t + 4 * np.sin(x / 6.0)) ** 2 / 2)
+            / (2 * 2.0 ** 2))
+        frames.append(np.clip(tube + rng.normal(100, 5, (16, 32, 32)), 0, None))
+    batch = np.stack(frames).astype(np.float32)
+
+    sharded = full_pipeline_step(batch, params, make_mesh(8, t_axis=2))
+    single = full_pipeline_step(batch, params, make_mesh(1, t_axis=1))
+
+    assert int(sharded["labels"].max()) >= 1
+    assert int((sharded["skel"] > 0).sum()) >= 1
+    np.testing.assert_array_equal(sharded["labels"], single["labels"])
+    np.testing.assert_array_equal(sharded["skel"], single["skel"])
+    np.testing.assert_array_equal(sharded["marker"], single["marker"])
+    assert sharded["flow_vec"].shape == single["flow_vec"].shape
+    # flow matches agree (costs are z-scored floats; compare match masks)
+    np.testing.assert_array_equal(sharded["flow_ok"], single["flow_ok"])
