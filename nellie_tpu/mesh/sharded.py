@@ -98,6 +98,61 @@ def _segment_step(frame, params: frangi_k.FrangiParams, min_area: int):
     return vessel, labels.astype(jnp.int32), n
 
 
+def batch_sharding(mesh: Mesh, frame_shape) -> NamedSharding:
+    """Sharding for a (T, *spatial) frame batch: axis 0 over the mesh's
+    "t" axis (data parallel), plus the first spatial axis divisible by
+    the "z" extent (halo-exchanged spatial parallel)."""
+    spec = [None] * (len(frame_shape) + 1)
+    spec[0] = "t"
+    n = mesh.shape.get("z", 1)
+    if n > 1:
+        for axis, extent in enumerate(frame_shape):
+            if extent % n == 0:
+                spec[axis + 1] = "z"
+                break
+    return NamedSharding(mesh, P(*spec))
+
+
+@partial(jax.jit, static_argnames=("params", "apply_mask", "max_samples",
+                                   "remove_edges"))
+def batched_filter_kernel(frames, params: frangi_k.FrangiParams,
+                          apply_mask: bool, max_samples: int,
+                          remove_edges: bool):
+    """Filter stage over a (T, *spatial) batch: vesselness + finalize
+    (+ optional edge removal) vmapped over frames — the driver feeds the
+    mesh's 't' axis with real frames (pipeline/run per-T groups,
+    pipeline/batch across files)."""
+
+    def one(f):
+        v, m = frangi_k.vesselness_frame(f, params, apply_mask=apply_mask)
+        if f.ndim == 2:
+            blob = frangi_k.log_blobness_2d(f.astype(jnp.float32), m, params)
+            v = jnp.maximum(v, jnp.maximum(blob, 0.0))
+        if remove_edges:
+            v = frangi_k.remove_edges_frame(v)
+        return frangi_k.finalize_frame(v, max_samples)
+
+    return jax.vmap(one)(frames)
+
+
+@partial(jax.jit, static_argnames=("min_area", "fill", "use_intensity"))
+def batched_label_kernel(frangi_b, orig_b, intensity_thr_b, frangi_thr_b,
+                         valid_b, min_area: int, fill: bool,
+                         use_intensity: bool):
+    """Label stage over a (T, *spatial) batch with per-frame thresholds;
+    frames whose threshold was undefined (no positive sample) get an
+    all-background result via a +inf threshold."""
+    from nellie_tpu.stages.labelling import _label_frame_kernel
+
+    thr = jnp.where(valid_b, frangi_thr_b, jnp.inf)
+
+    def one(f, o, it, ft):
+        return _label_frame_kernel(f, o, it, ft, min_area, fill, use_intensity)
+
+    return jax.vmap(one)(frangi_b, orig_b, intensity_thr_b.astype(jnp.float32),
+                         thr.astype(jnp.float32))
+
+
 def sharded_vesselness(volume, params: frangi_k.FrangiParams, mesh: Mesh):
     """Multi-chip vesselness of one (Z,Y,X) frame (Z sharded)."""
     sharded = shard_volume(jnp.asarray(volume, jnp.float32), mesh)

@@ -1,0 +1,178 @@
+"""Multi-file data parallelism: feed the mesh's 't' axis with frames
+drawn from a whole batch of files.
+
+The reference's batch processing is a strictly sequential Python loop
+over files (``/root/reference/nellie/cli.py:6-13``,
+``nellie_processor.py:323-331``). Here, when every file in the batch has
+the same canonical shape and resolutions (the same requirement the
+reference GUI imposes on folder batches, ``nellie_fileselect.py:597-610``),
+the Filter and Label stages run data-parallel across FILES: the combined
+(file, t) frame stream fills (tb = mesh t-extent)-sized groups that
+execute as one GSPMD-sharded program, exactly the BASELINE config #5
+shape (batch single-channel organelle unmixing). The remaining stages —
+which stream small per-frame structures through host artifacts — run per
+file afterwards.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nellie_tpu.io.verifier import ImInfo
+from nellie_tpu.stages.filtering import Filter
+from nellie_tpu.stages.hierarchical import Hierarchy
+from nellie_tpu.stages.hu_tracking import HuMomentTracking
+from nellie_tpu.stages.labelling import Label
+from nellie_tpu.stages.mocap_marking import Markers
+from nellie_tpu.stages.networking import Network
+from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+from nellie_tpu.utils.base_logger import logger
+
+
+def _compatible(im_infos) -> bool:
+    first = im_infos[0]
+    key = (tuple(first.shape), first.axes,
+           tuple(sorted((k, v) for k, v in first.dim_res.items() if v)))
+    return all(
+        (tuple(im.shape), im.axes,
+         tuple(sorted((k, v) for k, v in im.dim_res.items() if v))) == key
+        for im in im_infos[1:])
+
+
+def _frame_stream(stage_objs):
+    """(stage_index, t) pairs across all files, file-major."""
+    for i, s in enumerate(stage_objs):
+        for t in range(s.num_t):
+            yield i, t
+
+
+def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
+    """Filter + Label across files, frames grouped over the mesh 't' axis."""
+    from nellie_tpu.mesh.sharded import (
+        batch_sharding,
+        batched_filter_kernel,
+        batched_label_kernel,
+    )
+
+    tb = int(mesh.shape["t"])
+
+    filters = [Filter(im, mesh=mesh, **filter_kwargs) for im in im_infos]
+    for f in filters:
+        f._active_device = "accel"
+        f._active_low_memory = False
+        f._get_t()
+        f._allocate_memory()
+        f._set_default_sigmas()
+    params = filters[0]._params
+    frame_shape = filters[0].im_memmap.shape[1:] if not im_infos[0].no_t \
+        else filters[0].im_memmap.shape
+    sharding = batch_sharding(mesh, frame_shape)
+
+    work = list(_frame_stream(filters))
+    pending = None
+    for start in range(0, len(work), tb):
+        group = work[start:start + tb]
+        frames = np.stack([
+            np.asarray(filters[i].im_memmap[t] if not im_infos[i].no_t
+                       else filters[i].im_memmap) for i, t in group])
+        if len(group) < tb:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], tb - len(group), axis=0)])
+        batch = jax.device_put(np.ascontiguousarray(frames), sharding)
+        out = batched_filter_kernel(
+            batch, params, True, filters[0].max_threshold_samples,
+            filters[0].remove_edges)
+        if pending is not None:
+            for k, (i, t) in enumerate(pending[0]):
+                filters[i]._write_frame(t, pending[1][k])
+        pending = (group, out)
+    if pending is not None:
+        for k, (i, t) in enumerate(pending[0]):
+            filters[i]._write_frame(t, pending[1][k])
+
+    labels = [Label(im, mesh=mesh, **label_kwargs) for im in im_infos]
+    for l in labels:
+        l._get_t()
+        l._allocate_memory()
+    use_intensity = (labels[0].otsu_thresh_intensity
+                     or labels[0].threshold is not None)
+    fill = not im_infos[0].no_z
+    work = list(_frame_stream(labels))
+    pending = None
+    for start in range(0, len(work), tb):
+        group = work[start:start + tb]
+        it_b, ft_b, valid_b, frangi_l, orig_l = [], [], [], [], []
+        for i, t in group:
+            l = labels[i]
+            it, ft = l._compute_frame_thresholds(l.im_memmap[t], l.frangi_memmap[t])
+            it_b.append(0.0 if it is None else it)
+            ft_b.append(0.0 if ft is None else ft)
+            valid_b.append(ft is not None)
+            frangi_l.append(np.asarray(l.frangi_memmap[t]))
+            orig_l.append(np.asarray(l.im_memmap[t], np.float32))
+        frangi = np.stack(frangi_l)
+        orig = np.stack(orig_l)
+        if len(group) < tb:
+            pad = tb - len(group)
+            frangi = np.concatenate([frangi, np.repeat(frangi[-1:], pad, axis=0)])
+            orig = np.concatenate([orig, np.repeat(orig[-1:], pad, axis=0)])
+            it_b += [0.0] * pad
+            ft_b += [0.0] * pad
+            valid_b += [False] * pad
+        lab = batched_label_kernel(
+            jax.device_put(np.ascontiguousarray(frangi), sharding),
+            jax.device_put(np.ascontiguousarray(orig), sharding),
+            jnp.asarray(it_b, jnp.float32), jnp.asarray(ft_b, jnp.float32),
+            jnp.asarray(valid_b),
+            labels[0].min_area_pixels, fill, use_intensity)
+        if pending is not None:
+            for k, (i, t) in enumerate(pending[0]):
+                labels[i].instance_label_memmap[t, ...] = np.asarray(pending[1][k])
+                labels[i].instance_label_memmap.flush()
+        pending = (group, lab)
+    if pending is not None:
+        for k, (i, t) in enumerate(pending[0]):
+            labels[i].instance_label_memmap[t, ...] = np.asarray(pending[1][k])
+            labels[i].instance_label_memmap.flush()
+
+
+def run_files(file_infos, mesh=None, remove_edges=False,
+              otsu_thresh_intensity=False, threshold=None,
+              device="auto", low_memory=False, skip_nodes=False):
+    """Run the pipeline over a batch of prepared FileInfos.
+
+    With a multi-'t' mesh and shape-compatible files, Filter+Label run
+    data-parallel across the whole (file, t) frame stream; otherwise
+    files process sequentially through the standard ``run()``.
+    Returns the list of ImInfos.
+    """
+    from nellie_tpu.pipeline.run import run
+
+    im_infos = [ImInfo(fi) for fi in file_infos]
+    batched = (mesh is not None and int(mesh.shape.get("t", 1)) > 1
+               and len(im_infos) > 1 and not low_memory
+               and _compatible(im_infos))
+    if not batched:
+        for fi in file_infos:
+            run(fi, remove_edges=remove_edges,
+                otsu_thresh_intensity=otsu_thresh_intensity,
+                threshold=threshold, device=device, low_memory=low_memory,
+                skip_nodes=skip_nodes, mesh=mesh)
+        return im_infos
+
+    logger.info("Batch: %d files data-parallel over mesh t=%d",
+                len(im_infos), int(mesh.shape["t"]))
+    _segment_files_batched(
+        im_infos, mesh,
+        filter_kwargs={"remove_edges": remove_edges, "device": device},
+        label_kwargs={"otsu_thresh_intensity": otsu_thresh_intensity,
+                      "threshold": threshold, "device": device})
+    for im_info in im_infos:
+        Network(im_info, device=device).run()
+        Markers(im_info, device=device).run()
+        HuMomentTracking(im_info, device=device).run()
+        VoxelReassigner(im_info, device=device).run()
+        Hierarchy(im_info, skip_nodes=skip_nodes, device=device).run()
+    return im_infos

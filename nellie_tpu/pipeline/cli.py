@@ -13,14 +13,57 @@ import os
 from nellie_tpu.pipeline.run import run_path
 
 
-def process_files(files, ch, num_t, output_dir, **kwargs):
+def parse_mesh(spec):
+    """--mesh "8" (all data parallel) or "2x4" (t=2 frames/files x z=4
+    spatial) -> jax.sharding.Mesh."""
+    if not spec:
+        return None
+    from nellie_tpu.mesh import make_mesh
+
+    if "x" in spec:
+        t_axis, z_axis = (int(v) for v in spec.lower().split("x"))
+        return make_mesh(t_axis * z_axis, t_axis=t_axis)
+    n = int(spec)
+    return make_mesh(n, t_axis=n)
+
+
+def _prepare_file_info(tif_file, ch, num_t, output_dir):
+    from nellie_tpu.io.verifier import FileInfo
+
+    fi = FileInfo(tif_file, output_dir=output_dir)
+    fi.find_metadata()
+    fi.load_metadata()
+    if ch and "C" in (fi.axes or ""):
+        fi.change_selected_channel(ch)
+    if num_t is not None and "T" in (fi.axes or ""):
+        fi.select_temporal_range(0, num_t - 1)
+    errors = fi.get_validation_errors()
+    if errors:
+        raise ValueError(f"Metadata incomplete for {tif_file}: {errors}")
+    return fi
+
+
+def process_files(files, ch, num_t, output_dir, mesh=None, timeit=False, **kwargs):
+    if mesh is not None and int(mesh.shape.get("t", 1)) > 1 and len(files) > 1:
+        # data-parallel across files over the mesh 't' axis
+        from nellie_tpu.pipeline.batch import run_files
+
+        file_infos = []
+        for tif_file in files:
+            try:
+                file_infos.append(_prepare_file_info(tif_file, ch, num_t, output_dir))
+            except Exception as exc:  # noqa: BLE001 - batch robustness
+                print(f"Failed to prepare {tif_file}: {exc}")
+        if file_infos:
+            run_files(file_infos, mesh=mesh, **kwargs)
+        return
     for file_num, tif_file in enumerate(files):
         print(f"Processing file {file_num + 1} of {len(files)}, channel {ch}")
         try:
             run_path(
                 tif_file, ch=ch,
                 t_end=(num_t - 1 if num_t is not None else None),
-                output_dir=output_dir, **kwargs,
+                output_dir=output_dir, mesh=mesh, timeit=timeit, **kwargs,
             )
         except Exception as exc:  # noqa: BLE001 - batch robustness
             print(f"Failed to run {tif_file}: {exc}")
@@ -50,12 +93,17 @@ def main(argv=None):
     parser.add_argument("--remove_edges", action="store_true")
     parser.add_argument("--low_memory", action="store_true")
     parser.add_argument("--timeit", action="store_true", help="Print per-stage wall time")
+    parser.add_argument("--mesh", default=None,
+                        help='Device mesh spec: "8" (data parallel) or "2x4" '
+                             "(t-axis x z-axis); frames/files shard over 't', "
+                             "space over 'z'")
     args = parser.parse_args(argv)
 
     process_directory(
         args.directory, args.substring, args.output_directory, args.ch, args.num_t,
         device=args.device, remove_edges=args.remove_edges,
         low_memory=args.low_memory, timeit=args.timeit,
+        mesh=parse_mesh(args.mesh),
     )
 
 

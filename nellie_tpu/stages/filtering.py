@@ -313,7 +313,46 @@ class Filter:
             self.frangi_memmap[t, ...] = filtered_im
         self.frangi_memmap.flush()
 
+    def _mesh_t_batch(self):
+        """Frames per step when the driver feeds the mesh's 't' axis."""
+        if self.mesh is None or self._active_low_memory:
+            return 1
+        return int(self.mesh.shape.get("t", 1))
+
+    def _run_filter_batched(self, tb, mask=True):
+        """Data-parallel frames over the mesh 't' axis (+ spatial 'z'
+        sharding): groups of tb frames run as one sharded program —
+        the reference's strictly-sequential per-T loop
+        (``filtering.py:1005-1031``) becomes mesh-parallel."""
+        from nellie_tpu.mesh.sharded import batch_sharding, batched_filter_kernel
+
+        frame_shape = self.im_memmap.shape[1:] if not self.im_info.no_t else self.im_memmap.shape
+        sharding = batch_sharding(self.mesh, frame_shape)
+        pending = None
+        for start in range(0, self.num_t, tb):
+            ts = list(range(start, min(start + tb, self.num_t)))
+            if self.viewer is not None:
+                self.viewer.status = f"Preprocessing. Frames: {ts[0] + 1}-{ts[-1] + 1} of {self.num_t}."
+            frames = np.stack([np.asarray(self.im_memmap[t]) for t in ts])
+            if len(ts) < tb:  # pad the final group (extras discarded)
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], tb - len(ts), axis=0)])
+            batch = jax.device_put(np.ascontiguousarray(frames), sharding)
+            out = batched_filter_kernel(
+                batch, self._params, mask, self.max_threshold_samples,
+                self.remove_edges)
+            if pending is not None:
+                for i, t in enumerate(pending[0]):
+                    self._write_frame(t, pending[1][i])
+            pending = (ts, out)
+        if pending is not None:
+            for i, t in enumerate(pending[0]):
+                self._write_frame(t, pending[1][i])
+
     def _run_filter(self, mask=True):
+        tb = self._mesh_t_batch()
+        if tb > 1 and self.num_t > 1:
+            return self._run_filter_batched(tb, mask=mask)
         # double-buffered: frame t+1's compute is dispatched before frame
         # t's result is pulled to host/disk (async JAX dispatch overlaps them)
         pending = None

@@ -339,7 +339,58 @@ class Label:
             self.instance_label_memmap[t, z_start:z_end, ...] = new_ids[idx]
 
     # -- main loop ----------------------------------------------------------
+    def _run_segmentation_batched(self, tb):
+        """Data-parallel frames over the mesh 't' axis: per-frame host
+        threshold sampling, then groups of tb frames label as one sharded
+        program (replaces the strictly-sequential per-T loop)."""
+        from nellie_tpu.mesh.sharded import batch_sharding, batched_label_kernel
+
+        use_intensity = self.otsu_thresh_intensity or self.threshold is not None
+        frame_shape = self.frangi_memmap.shape[1:]
+        sharding = batch_sharding(self.mesh, frame_shape)
+        fill = not self.im_info.no_z
+        pending = None
+        for start in range(0, self.num_t, tb):
+            ts = list(range(start, min(start + tb, self.num_t)))
+            if self.viewer is not None:
+                self.viewer.status = (
+                    f"Extracting organelles. Frames: {ts[0] + 1}-{ts[-1] + 1} of {self.num_t}.")
+            it_b, ft_b, valid_b = [], [], []
+            for t in ts:
+                it, ft = self._compute_frame_thresholds(
+                    self.im_memmap[t, ...], self.frangi_memmap[t, ...])
+                it_b.append(0.0 if it is None else it)
+                ft_b.append(0.0 if ft is None else ft)
+                valid_b.append(ft is not None)
+            frangi = np.stack([np.asarray(self.frangi_memmap[t]) for t in ts])
+            orig = np.stack([np.asarray(self.im_memmap[t]) for t in ts]).astype(np.float32)
+            if len(ts) < tb:
+                pad = tb - len(ts)
+                frangi = np.concatenate([frangi, np.repeat(frangi[-1:], pad, axis=0)])
+                orig = np.concatenate([orig, np.repeat(orig[-1:], pad, axis=0)])
+                it_b += [0.0] * pad
+                ft_b += [0.0] * pad
+                valid_b += [False] * pad
+            labels = batched_label_kernel(
+                jax.device_put(np.ascontiguousarray(frangi), sharding),
+                jax.device_put(np.ascontiguousarray(orig), sharding),
+                jnp.asarray(it_b, jnp.float32), jnp.asarray(ft_b, jnp.float32),
+                jnp.asarray(valid_b),
+                self.min_area_pixels, fill, use_intensity)
+            if pending is not None:
+                for i, t in enumerate(pending[0]):
+                    self.instance_label_memmap[t, ...] = np.asarray(pending[1][i])
+                self.instance_label_memmap.flush()
+            pending = (ts, labels)
+        if pending is not None:
+            for i, t in enumerate(pending[0]):
+                self.instance_label_memmap[t, ...] = np.asarray(pending[1][i])
+        self.instance_label_memmap.flush()
+
     def _run_segmentation(self):
+        if (self.mesh is not None and not self.low_memory and self.chunk_z is None
+                and int(self.mesh.shape.get("t", 1)) > 1 and self.num_t > 1):
+            return self._run_segmentation_batched(int(self.mesh.shape["t"]))
         for t in range(self.num_t):
             if self.viewer is not None:
                 self.viewer.status = f"Extracting organelles. Frame: {t + 1} of {self.num_t}."

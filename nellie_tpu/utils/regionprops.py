@@ -13,7 +13,7 @@ computes the same properties from first principles:
   sqrt(20·λ) in 3D (the ellipse/ellipsoid with matching moments)
 * extent   — voxel count / bbox voxel count
 * solidity — voxel count / voxel count of the discrete convex image
-  (Delaunay point-in-hull test over the bbox grid)
+  (own quickhull half-space test over the bbox grid, utils/convexhull.py)
 
 Everything except solidity is vectorised over labels via bincount;
 solidity loops over regions (hulls are inherently per-region).
@@ -48,26 +48,16 @@ def _axis_lengths(cov_eigvals: np.ndarray, ndim: int) -> Tuple[float, float]:
 
 
 def _solidity(coords: np.ndarray) -> float:
-    """Voxel count / discrete convex-image voxel count."""
+    """Voxel count / discrete convex-image voxel count (own quickhull —
+    no scipy.spatial dependency)."""
     n = coords.shape[0]
     ndim = coords.shape[1]
     if n <= ndim + 1:
         return 1.0
-    try:
-        from scipy.spatial import Delaunay, QhullError  # type: ignore
-    except ImportError:  # pragma: no cover
-        return float("nan")
-    try:
-        hull = Delaunay(coords.astype(np.float64))
-    except Exception:
-        return float("nan")
-    mins = coords.min(axis=0)
-    maxs = coords.max(axis=0)
-    grids = np.meshgrid(*[np.arange(lo, hi + 1) for lo, hi in zip(mins, maxs)], indexing="ij")
-    pts = np.stack([g.ravel() for g in grids], axis=1).astype(np.float64)
-    inside = hull.find_simplex(pts) >= 0
-    convex_count = int(inside.sum())
-    if convex_count == 0:
+    from nellie_tpu.utils.convexhull import convex_image_count
+
+    convex_count = convex_image_count(coords)
+    if not convex_count:
         return float("nan")
     return float(n / convex_count)
 

@@ -53,7 +53,9 @@ def test_golden_segmentation(golden_run):
 def test_golden_skeleton(golden_run):
     skel = np.asarray(golden_run.get_memmap(golden_run.pipeline_paths["im_skel"]))
     vox = [(skel[t] > 0).sum() for t in range(2)]
-    assert vox[0] == pytest.approx(23, rel=0.35), vox
+    # exact voxel counts (thinning is deterministic; recorded round 2 with
+    # the packed backend, identical to the round-1 arith backend)
+    assert vox == [23, 18], vox
     rel = np.asarray(golden_run.get_memmap(golden_run.pipeline_paths["im_skel_relabelled"]))
     labels = np.asarray(golden_run.get_memmap(golden_run.pipeline_paths["im_instance_label"]))
     assert (rel[labels > 0] > 0).all()

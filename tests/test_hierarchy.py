@@ -124,3 +124,30 @@ def test_regionprops_3d_sphere():
     assert r.major_axis_length == pytest.approx(r.minor_axis_length, rel=0.1)
     assert r.major_axis_length == pytest.approx(10.0, rel=0.15)
     assert r.solidity == pytest.approx(1.0, abs=0.05)
+
+
+def test_convex_image_count_matches_scipy_delaunay(rng):
+    """Our quickhull half-space convex image == scipy Delaunay membership
+    (scipy used as test oracle only; the product path is scipy-free)."""
+    from scipy.spatial import Delaunay
+
+    from nellie_tpu.utils.convexhull import convex_image_count
+
+    for ndim in (2, 3):
+        for trial in range(6):
+            pts = rng.integers(0, 14, (rng.integers(5, 40), ndim))
+            pts = np.unique(pts, axis=0)
+            if len(pts) < ndim + 2:
+                continue
+            try:
+                hull = Delaunay(pts.astype(float))
+            except Exception:
+                assert convex_image_count(pts) is None
+                continue
+            mins, maxs = pts.min(0), pts.max(0)
+            grid = np.stack([g.ravel() for g in np.meshgrid(
+                *[np.arange(lo, hi + 1) for lo, hi in zip(mins, maxs)],
+                indexing="ij")], axis=1)
+            want = int((hull.find_simplex(grid.astype(float)) >= 0).sum())
+            got = convex_image_count(pts)
+            assert got == want, (ndim, trial, got, want)

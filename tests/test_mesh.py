@@ -102,3 +102,70 @@ def test_full_pipeline_step_sharded_parity():
     assert sharded["flow_vec"].shape == single["flow_vec"].shape
     # flow matches agree (costs are z-scored floats; compare match masks)
     np.testing.assert_array_equal(sharded["flow_ok"], single["flow_ok"])
+
+
+def test_mesh_t_batched_frames_match_sequential(tmp_path):
+    """run(mesh=<t=4 x z=2>) feeds frame groups to the mesh 't' axis; the
+    Filter/Label artifacts must match the sequential per-frame path."""
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.stages.filtering import Filter
+    from nellie_tpu.stages.labelling import Label
+
+    def _segment(out_dir, mesh):
+        sub = tmp_path / out_dir
+        sub.mkdir()
+        fi = _make_input(sub, n_t=4)
+        im_info = ImInfo(fi)
+        Filter(im_info, mesh=mesh).run()
+        Label(im_info, mesh=mesh).run()
+        frangi = np.asarray(im_info.get_memmap(im_info.pipeline_paths["im_preprocessed"]))
+        labels = np.asarray(im_info.get_memmap(im_info.pipeline_paths["im_instance_label"]))
+        return frangi, labels
+
+    f_seq, l_seq = _segment("seq", None)
+    f_bat, l_bat = _segment("bat", make_mesh(8, t_axis=4))
+    np.testing.assert_allclose(f_seq, f_bat, atol=1e-5, rtol=1e-3)
+    np.testing.assert_array_equal(l_seq, l_bat)
+
+
+def test_multi_file_batch_matches_sequential(tmp_path):
+    """pipeline.batch.run_files with a t=4 mesh (files over 't') produces
+    the same artifacts as sequential run() per file."""
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.pipeline.batch import run_files
+    from nellie_tpu.pipeline.run import run
+
+    seq_dir = tmp_path / "seq"
+    bat_dir = tmp_path / "bat"
+    seq_dir.mkdir()
+    bat_dir.mkdir()
+    seq_infos, bat_fis = [], []
+    for k in range(3):
+        s = seq_dir / f"f{k}"
+        b = bat_dir / f"f{k}"
+        s.mkdir()
+        b.mkdir()
+        seq_infos.append(run(_make_input(s, n_t=2, seed=k)))
+        bat_fis.append(_make_input(b, n_t=2, seed=k))
+
+    bat_infos = run_files(bat_fis, mesh=make_mesh(8, t_axis=4))
+    for s_im, b_im in zip(seq_infos, bat_infos):
+        for key in ("im_preprocessed", "im_instance_label", "im_skel_relabelled"):
+            a = np.asarray(s_im.get_memmap(s_im.pipeline_paths[key]))
+            b = np.asarray(b_im.get_memmap(b_im.pipeline_paths[key]))
+            if key == "im_preprocessed":
+                np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3, err_msg=key)
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=key)
+
+
+def test_cli_parse_mesh():
+    from nellie_tpu.pipeline.cli import parse_mesh
+
+    assert parse_mesh(None) is None
+    m = parse_mesh("8")
+    assert m.shape["t"] == 8 and m.shape["z"] == 1
+    m = parse_mesh("2x4")
+    assert m.shape["t"] == 2 and m.shape["z"] == 4

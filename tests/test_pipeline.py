@@ -10,9 +10,9 @@ from nellie_tpu.io import tiff as tifffile
 from nellie_tpu.io.verifier import FileInfo
 
 
-def _make_input(tmp_path, n_t=2):
+def _make_input(tmp_path, n_t=2, seed=0):
     shape = (n_t, 12, 48, 48)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     z, y, x = np.mgrid[0 : shape[1], 0 : shape[2], 0 : shape[3]]
     frames = []
     for t in range(n_t):
