@@ -71,14 +71,57 @@ def _segment_nanstats_kernel(values: jnp.ndarray, seg_ids: jnp.ndarray,
         )
 
     mean, std, mn, mx, sm = jax.vmap(per_stat)(values)
-    return {"mean": mean, "std_dev": std, "min": mn, "max": mx, "sum": sm}
+    # one stacked output -> ONE device->host transfer for the whole bundle
+    # (per-key pulls each pay the dispatch latency of the tunnelled link)
+    return jnp.stack([mean, std, mn, mx, sm])
+
+
+def group_stats_np(values: np.ndarray, seg_ids: np.ndarray,
+                   num_segments: int) -> Dict[str, np.ndarray]:
+    """Vectorised host implementation (bincount / ufunc.at), same
+    semantics as the device kernel — used for small tables where a device
+    round trip costs more than the reduction."""
+    values = np.atleast_2d(np.asarray(values, np.float64))
+    seg_ids = np.asarray(seg_ids, np.int64)
+    s, n = values.shape
+    out = {k: np.full((s, num_segments), np.nan) for k in STAT_KEYS}
+    if num_segments == 0 or n == 0:
+        return {k: v.astype(np.float32) for k, v in out.items()}
+    in_range = (seg_ids >= 0) & (seg_ids < num_segments)
+    for i in range(s):
+        v = values[i]
+        valid = in_range & ~np.isnan(v)
+        sid = seg_ids[valid]
+        vv = v[valid]
+        cnt = np.bincount(sid, minlength=num_segments).astype(np.float64)
+        sm = np.bincount(sid, weights=vv, minlength=num_segments)
+        nonempty = cnt > 0
+        mean = np.divide(sm, cnt, out=np.full(num_segments, np.nan), where=nonempty)
+        centered = vv - mean[sid]
+        ss = np.bincount(sid, weights=centered * centered, minlength=num_segments)
+        var = np.divide(ss, cnt, out=np.full(num_segments, np.nan), where=nonempty)
+        mn = np.full(num_segments, np.inf)
+        mx = np.full(num_segments, -np.inf)
+        np.minimum.at(mn, sid, vv)
+        np.maximum.at(mx, sid, vv)
+        out["mean"][i] = mean
+        out["std_dev"][i] = np.sqrt(np.maximum(var, 0.0))
+        out["min"][i] = np.where(nonempty, mn, np.nan)
+        out["max"][i] = np.where(nonempty, mx, np.nan)
+        out["sum"][i] = np.where(nonempty, sm, np.nan)
+    return out
+
+
+# below this many member rows the tunnelled dispatch latency exceeds the
+# reduction cost; run on host instead
+HOST_CUTOVER_N = 16384
 
 
 def segment_nanstats(values: np.ndarray, seg_ids: np.ndarray,
                      num_segments: int) -> Dict[str, np.ndarray]:
-    """Host driver: bucket-pad N and num_segments (stable jit shapes),
-    run the kernel, slice back. values (S, N); returns (S, num_segments)
-    per stat key."""
+    """Bucket-pad N and num_segments (stable jit shapes), run the device
+    kernel, slice back — or the vectorised host path for small tables.
+    values (S, N); returns (S, num_segments) per stat key."""
     values = np.atleast_2d(np.asarray(values, np.float32))
     seg_ids = np.asarray(seg_ids, np.int32)
     s, n = values.shape
@@ -86,14 +129,16 @@ def segment_nanstats(values: np.ndarray, seg_ids: np.ndarray,
         return {k: np.zeros((s, 0), np.float32) for k in STAT_KEYS}
     if n == 0:
         return {k: np.full((s, num_segments), np.nan, np.float32) for k in STAT_KEYS}
+    if n < HOST_CUTOVER_N:
+        return group_stats_np(values, seg_ids, num_segments)
     nb = _bucket(n, 128)
     gb = _bucket(num_segments, 8)
     v = np.full((s, nb), np.nan, np.float32)
     v[:, :n] = values
     ids = np.full((nb,), -1, np.int32)
     ids[:n] = seg_ids
-    out = _segment_nanstats_kernel(jnp.asarray(v), jnp.asarray(ids), gb)
-    return {k: np.asarray(out[k])[:, :num_segments] for k in STAT_KEYS}
+    out = np.asarray(_segment_nanstats_kernel(jnp.asarray(v), jnp.asarray(ids), gb))
+    return {k: out[i][:, :num_segments] for i, k in enumerate(STAT_KEYS)}
 
 
 def group_stats_host(values: np.ndarray, seg_ids: np.ndarray,

@@ -106,7 +106,7 @@ def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
     seg_ids = jnp.where(mask, seg_ids, 0).reshape(-1).astype(jnp.int32)
     values = jnp.stack([frame.astype(jnp.float32).reshape(-1),
                         vessel.reshape(-1)])
-    hier = _segment_nanstats_kernel(values, seg_ids, p.label_cap)
+    hier = _segment_nanstats_kernel(values, seg_ids, p.label_cap)  # (5, S, L)
 
     spacing = jnp.asarray(p.sampling, jnp.float32)
     out = {
@@ -125,8 +125,8 @@ def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
         "marker_hu": hu,
         "voxel_coords_phys": vcoords.astype(jnp.float32) * spacing[None],
         "voxel_valid": vvalid,
-        "hier_mean": hier["mean"],
-        "hier_std": hier["std_dev"],
+        "hier_mean": hier[0],
+        "hier_std": hier[1],
     }
     return out
 

@@ -194,17 +194,19 @@ def _motility_kernel(coords_px, vec01_px, vec12_px, labels, spacing, dt,
         lin_acc_rel_mag = nana
         ang_acc_rel_mag = nana
 
-    return {
-        "linear_vel": lin_vel_mag,
-        "angular_vel": ang_vel_mag,
-        "linear_acc": lin_acc_mag,
-        "angular_acc": ang_acc_mag,
-        "rel_linear_vel": lin_vel_rel_mag,
-        "rel_angular_vel": ang_vel_rel_mag,
-        "rel_linear_acc": lin_acc_rel_mag,
-        "rel_angular_acc": ang_acc_rel_mag,
-        "rel_directionality": directionality,
-    }
+    # one stacked (9, N) output -> a single device->host transfer
+    return jnp.stack([
+        lin_vel_mag, ang_vel_mag, lin_acc_mag, ang_acc_mag,
+        lin_vel_rel_mag, ang_vel_rel_mag, lin_acc_rel_mag, ang_acc_rel_mag,
+        directionality,
+    ])
+
+
+_MOTILITY_KEYS = (
+    "linear_vel", "angular_vel", "linear_acc", "angular_acc",
+    "rel_linear_vel", "rel_angular_vel", "rel_linear_acc",
+    "rel_angular_acc", "rel_directionality",
+)
 
 
 @partial(jax.jit, static_argnames=())
@@ -327,13 +329,13 @@ class _VoxelLevel:
                 v12[:n] = vec12_px
                 lbl = np.full((nb,), -1, np.int32)
                 lbl[:n] = self.branch_labels
-                out = _motility_kernel(
+                out = np.asarray(_motility_kernel(
                     jnp.asarray(cp), jnp.asarray(v01), jnp.asarray(v12),
                     jnp.asarray(lbl), jnp.asarray(spacing),
                     jnp.float32(h.im_info.dim_res["T"] or 1.0),
-                    no_z=h.im_info.no_z, has01=t > 0, num_labels=lb)
-                for k in motility:
-                    motility[k] = np.asarray(out[k])[:n]
+                    no_z=h.im_info.no_z, has01=t > 0, num_labels=lb))
+                for i, k in enumerate(_MOTILITY_KEYS):
+                    motility[k] = out[i][:n]
         self.motility = motility
 
         self.stats = np.stack([
@@ -386,8 +388,7 @@ class _NodeLevel:
         self.pair_vox = pair_vox
 
         spacing = np.asarray(h.spacing, np.float64)
-        self.node_thickness = border_distance(
-            np.asarray(h.im_border_mask[t]), self.nodes, spacing) * 2.0
+        self.node_thickness = h._border_distance_cached(t, self.nodes) * 2.0
 
         # per-pair dot products + member coords -> per-node means
         if len(pair_node):
@@ -502,7 +503,7 @@ class _BranchLevel:
             lengths_all, degree = branch_geometry(skel, spacing)
             lengths = lengths_all[row_labels].astype(np.float64)
 
-            radii = border_distance(np.asarray(h.im_border_mask[t]), skel_coords, spacing)
+            radii = h._border_distance_cached(t, skel_coords)
             deg_at = degree[tuple(skel_coords.T)]
             rows = _ids_into(skel_labels, row_labels)
 
@@ -776,6 +777,21 @@ class Hierarchy:
     def _status(self, msg):
         if self.viewer is not None:
             self.viewer.status = msg
+
+    def _border_distance_cached(self, t, coords):
+        """Border distance at skeleton coordinates — Nodes (pixel_class>0)
+        and Branches (im_skel>0) query the identical voxel set, so the MXU
+        NN result is computed once per frame."""
+        coords = np.asarray(coords)
+        cache = getattr(self, "_frame_cache", None)
+        if cache is not None and cache.get("t") == t:
+            cached = cache.get("border_dist")
+            if cached is not None and cached[0].shape == coords.shape \
+                    and np.array_equal(cached[0], coords):
+                return cached[1]
+        dist = border_distance(np.asarray(self.im_border_mask[t]), coords, self.spacing)
+        self._frame_cache = {"t": t, "border_dist": (coords, dist)}
+        return dist
 
     def _run_hierarchy(self):
         self._get_t()

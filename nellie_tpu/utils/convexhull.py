@@ -8,6 +8,9 @@ point-in-hull test so the framework carries no scipy.spatial dependency
 
 The hulls are returned as half-space systems (A, b) with outward
 normals: a point p is inside iff ``A @ p <= b + eps`` for every row.
+Voxelised regions produce many near-coplanar facets, so the plane set is
+deduplicated before the grid test and the test itself runs as chunked
+float32 matmuls.
 """
 from __future__ import annotations
 
@@ -51,13 +54,14 @@ def hull_halfspaces_2d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
 
 def hull_halfspaces_3d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Quickhull -> (A, b) half-space system; None for degenerate input
-    (all points coplanar/collinear)."""
+    (all points coplanar/collinear). Faces carry precomputed plane data;
+    point-vs-face visibility is vectorised."""
     pts = np.unique(np.asarray(points, np.float64), axis=0)
     n = len(pts)
     if n < 4:
         return None
 
-    # initial simplex: extreme pair, then furthest from line, then plane
+    # initial simplex: extreme pair, furthest from line, furthest from plane
     d0 = int(np.argmin(pts[:, 0]))
     d1 = int(np.argmax(pts[:, 0]))
     if d0 == d1:
@@ -77,96 +81,84 @@ def hull_halfspaces_3d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
     if abs(dist[d3]) < _EPS:
         return None  # coplanar
     d = pts[d3]
+    interior = (a + b + c + d) / 4.0
 
-    # faces as vertex index triples with outward orientation
-    def orient(i, j, k, opposite):
-        nrm = np.cross(pts[j] - pts[i], pts[k] - pts[i])
-        if nrm @ (pts[opposite] - pts[i]) > 0:
-            return (i, k, j)
-        return (i, j, k)
-
-    faces = [
-        orient(d0, d1, d2, d3),
-        orient(d0, d1, d3, d2),
-        orient(d0, d2, d3, d1),
-        orient(d1, d2, d3, d0),
-    ]
-
-    def face_normal(f):
-        i, j, k = f
+    def make_face(i, j, k):
+        """Face dict with outward plane; vertex order fixed so the normal
+        points away from the interior point."""
         nrm = np.cross(pts[j] - pts[i], pts[k] - pts[i])
         ln = np.linalg.norm(nrm)
-        return nrm / max(ln, _EPS)
+        if ln < _EPS:
+            return None
+        nrm = nrm / ln
+        if nrm @ (interior - pts[i]) > 0:
+            nrm = -nrm
+            j, k = k, j
+        return {"v": (i, j, k), "n": nrm, "off": float(nrm @ pts[i]),
+                "out": np.empty(0, np.int64), "d": np.empty(0)}
 
-    # assign outside sets
-    def outside_set(f, candidates):
-        nrm = face_normal(f)
-        off = nrm @ pts[f[0]]
-        dd = pts[candidates] @ nrm - off
-        sel = dd > 1e-7
-        return candidates[sel], dd[sel]
+    faces = [make_face(d0, d1, d2), make_face(d0, d1, d3),
+             make_face(d0, d2, d3), make_face(d1, d2, d3)]
+    faces = [f for f in faces if f is not None]
+    if len(faces) < 4:
+        return None
 
     all_idx = np.arange(n)
-    face_list = []
     for f in faces:
-        cand, dd = outside_set(f, all_idx)
-        face_list.append([f, cand, dd])
+        dd = pts[all_idx] @ f["n"] - f["off"]
+        sel = dd > 1e-7
+        f["out"], f["d"] = all_idx[sel], dd[sel]
 
-    max_iter = 4 * n + 16
-    it = 0
-    while it < max_iter:
-        it += 1
-        target = None
-        for entry in face_list:
-            if len(entry[1]):
-                target = entry
-                break
+    max_iter = 8 * n + 64
+    for _ in range(max_iter):
+        target = next((f for f in faces if len(f["out"])), None)
         if target is None:
             break
-        f, cand, dd = target
-        far = int(cand[int(np.argmax(dd))])
-        # find visible faces
-        visible = []
-        for entry in face_list:
-            nrm = face_normal(entry[0])
-            if nrm @ pts[far] - nrm @ pts[entry[0][0]] > 1e-9:
-                visible.append(entry)
-        if not visible:
-            # numerical stall: drop the point from every outside set
-            for entry in face_list:
-                keep = entry[1] != far
-                entry[1], entry[2] = entry[1][keep], entry[2][keep]
+        far = int(target["out"][int(np.argmax(target["d"]))])
+        p_far = pts[far]
+        # visible faces (vectorised over the face list)
+        normals = np.stack([f["n"] for f in faces])
+        offs = np.asarray([f["off"] for f in faces])
+        vis = normals @ p_far - offs > 1e-9
+        if not vis.any():
+            for f in faces:
+                keep = f["out"] != far
+                f["out"], f["d"] = f["out"][keep], f["d"][keep]
             continue
-        # horizon edges: edges of visible faces shared with non-visible
-        visible_set = {tuple(e[0]) for e in visible}
-        edge_count = {}
-        for e in visible:
-            i, j, k = e[0]
+        visible = [f for f, v in zip(faces, vis) if v]
+        hidden = [f for f, v in zip(faces, vis) if not v]
+        # horizon: edges appearing in exactly one visible face
+        edge_count: dict = {}
+        for f in visible:
+            i, j, k = f["v"]
             for u, v in ((i, j), (j, k), (k, i)):
                 key = (min(u, v), max(u, v))
-                edge_count[key] = edge_count.get(key, 0) + 1
-                edge_count[(key, "dir")] = (u, v)
-        horizon = [edge_count[(key, "dir")]
-                   for key, cnt in edge_count.items()
-                   if not isinstance(key[1], str) and isinstance(cnt, int) and cnt == 1]
-        # candidate points to redistribute
-        orphan = np.unique(np.concatenate([e[1] for e in visible]))
-        face_list = [e for e in face_list if tuple(e[0]) not in visible_set]
+                cnt, _ = edge_count.get(key, (0, (u, v)))
+                edge_count[key] = (cnt + 1, (u, v))
+        horizon = [dirn for (cnt, dirn) in edge_count.values() if cnt == 1]
+        orphan = np.unique(np.concatenate([f["out"] for f in visible]))
+        orphan = orphan[orphan != far]
+        faces = hidden
         for (u, v) in horizon:
-            nf = (u, v, far)
-            nrm = np.cross(pts[v] - pts[u], pts[far] - pts[u])
-            if np.linalg.norm(nrm) < _EPS:
+            nf = make_face(u, v, far)
+            if nf is None:
                 continue
-            # orient outward: interior point = centroid of initial simplex
-            interior = (a + b + c + d) / 4.0
-            if nrm @ (interior - pts[u]) > 0:
-                nf = (u, far, v)
-            cand2, dd2 = outside_set(nf, orphan)
-            face_list.append([nf, cand2, dd2])
+            if len(orphan):
+                dd = pts[orphan] @ nf["n"] - nf["off"]
+                sel = dd > 1e-7
+                nf["out"], nf["d"] = orphan[sel], dd[sel]
+            faces.append(nf)
 
-    normals = np.stack([face_normal(e[0]) for e in face_list])
-    offsets = np.asarray([face_normal(e[0]) @ pts[e[0][0]] for e in face_list])
-    return normals, offsets
+    A = np.stack([f["n"] for f in faces])
+    b_off = np.asarray([f["off"] for f in faces])
+    return A, b_off
+
+
+def _dedup_planes(A: np.ndarray, b: np.ndarray, decimals: int = 7):
+    """Voxel hulls produce many coincident facet planes; keep one of each."""
+    key = np.round(np.column_stack([A, b]), decimals)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    return A[idx], b[idx]
 
 
 def convex_image_count(coords: np.ndarray) -> Optional[int]:
@@ -177,11 +169,32 @@ def convex_image_count(coords: np.ndarray) -> Optional[int]:
     hs = hull_halfspaces_2d(coords) if ndim == 2 else hull_halfspaces_3d(coords)
     if hs is None:
         return None
-    A, b = hs
+    A, b = _dedup_planes(*hs)
     mins = coords.min(axis=0)
     maxs = coords.max(axis=0)
-    grids = np.meshgrid(*[np.arange(lo, hi + 1) for lo, hi in zip(mins, maxs)],
-                        indexing="ij")
-    pts = np.stack([g.ravel() for g in grids], axis=1).astype(np.float64)
-    inside = np.all(pts @ A.T <= b[None, :] + 1e-7, axis=1)
-    return int(inside.sum())
+    dims = maxs - mins + 1
+
+    # exact interval counting: the hull's slice at fixed leading coords is
+    # an interval along the last axis whose integer bounds come straight
+    # from the half-planes — O(rows x planes) instead of a full-grid test
+    lead_dims = tuple(int(v) for v in dims[:-1])
+    n_rows = int(np.prod(lead_dims)) if lead_dims else 1
+    lead = np.column_stack(np.unravel_index(np.arange(n_rows), lead_dims)) \
+        if lead_dims else np.zeros((1, 0))
+    lead = lead.astype(np.float64) + mins[:-1][None, :]
+    c = b[None, :] + 1e-7 - lead @ A[:, :-1].T  # (rows, planes)
+    a_last = A[:, -1]
+    pos = a_last > 1e-12
+    neg = a_last < -1e-12
+    zero = ~pos & ~neg
+    hi = np.full(n_rows, float(maxs[-1]))
+    if pos.any():
+        hi = np.minimum(hi, np.floor((c[:, pos] / a_last[pos][None, :]).min(axis=1)))
+    lo = np.full(n_rows, float(mins[-1]))
+    if neg.any():
+        lo = np.maximum(lo, np.ceil((c[:, neg] / a_last[neg][None, :]).max(axis=1)))
+    ok = np.ones(n_rows, bool)
+    if zero.any():
+        ok &= (c[:, zero] >= 0).all(axis=1)
+    counts = np.where(ok, np.maximum(0.0, hi - lo + 1), 0.0)
+    return int(counts.sum())

@@ -14,8 +14,11 @@ from nellie_tpu.utils.regionprops import regionprops
 
 def test_segment_nanstats_vs_host_oracle(rng):
     """The round-1 parity invariant, re-targeted: device segment reductions
-    must match the straightforward per-group numpy loop."""
-    n, groups = 500, 7
+    must match the straightforward per-group numpy loop. n is above the
+    host cutover so the device kernel actually runs."""
+    from nellie_tpu.kernels.segstats import HOST_CUTOVER_N
+
+    n, groups = HOST_CUTOVER_N + 500, 7
     values = rng.normal(5, 2, (3, n)).astype(np.float32)
     values[:, rng.random(n) < 0.1] = np.nan
     seg = rng.integers(-1, groups, n).astype(np.int32)  # -1 rows drop
@@ -23,7 +26,24 @@ def test_segment_nanstats_vs_host_oracle(rng):
     dev = segment_nanstats(values, seg, groups)
     host = group_stats_host(values, seg, groups)
     for key in dev:
-        np.testing.assert_allclose(dev[key], host[key], rtol=2e-4, atol=1e-5,
+        np.testing.assert_allclose(dev[key], host[key], rtol=2e-3, atol=1e-4,
+                                   equal_nan=True, err_msg=key)
+
+
+def test_group_stats_np_vs_host_oracle(rng):
+    """The vectorised host path (small-table cutover) must match the
+    per-group loop exactly."""
+    from nellie_tpu.kernels.segstats import group_stats_np
+
+    n, groups = 400, 6
+    values = rng.normal(5, 2, (4, n)).astype(np.float32)
+    values[:, rng.random(n) < 0.15] = np.nan
+    seg = rng.integers(-1, groups, n).astype(np.int32)
+    seg[seg == 2] = 1  # empty group
+    a = group_stats_np(values, seg, groups)
+    b = group_stats_host(values, seg, groups)
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], rtol=1e-8,
                                    equal_nan=True, err_msg=key)
 
 
