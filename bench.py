@@ -109,6 +109,46 @@ def _numpy_reference_seconds(frame, params, min_area):
     return time.perf_counter() - start
 
 
+def _e2e_warm_timings(shape=(3, 64, 256, 256)):
+    """Full seven-stage pipeline, steady-state: run once cold (compiles),
+    once warm on identical shapes; returns (warm per-stage dict, warm
+    total seconds, frames, voxels/frame).  The e2e metric of
+    BASELINE.json ("sec/frame end-to-end 3D pipeline")."""
+    import shutil
+    import tempfile
+
+    from nellie_tpu.io import ome as ome_mod
+    from nellie_tpu.io import tiff
+    from nellie_tpu.io.verifier import FileInfo
+    from nellie_tpu.pipeline.run import run
+
+    t_frames, *vol = shape
+    frames = np.stack([
+        np.roll(_make_frame(tuple(vol), seed=0), shift=3 * t, axis=1)
+        for t in range(t_frames)
+    ])
+    data = np.clip(frames, 0, 65535).astype(np.uint16)
+    desc = ome_mod.build_ome_xml(
+        "TZYX", data.shape, "uint16",
+        dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 2.0})
+
+    root = tempfile.mkdtemp(prefix="nellie_bench_e2e_")
+    try:
+        timings = {}
+        for sub in ("cold", "warm"):
+            d = os.path.join(root, sub)
+            os.makedirs(d)
+            path = os.path.join(d, "bench.ome.tif")
+            tiff.imwrite(path, data, description=desc)
+            fi = FileInfo(path)
+            fi.find_metadata()
+            fi.load_metadata()
+            _, timings = run(fi, timeit=True, return_timings=True)
+        return timings, float(timings["total"]), t_frames, int(np.prod(vol))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -163,12 +203,29 @@ def main():
     print(f"[bench] numpy/scipy reference (best of 2): {base_s:.1f}s/frame "
           f"({base_vox_per_sec:,.0f} vox/s)", file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "frangi+eigen+segment voxels/sec/chip (3D 64x256x256 frame)",
         "value": round(vox_per_sec),
         "unit": "voxels/sec/chip",
         "vs_baseline": round(vox_per_sec / base_vox_per_sec, 2),
-    }))
+    }
+
+    # full seven-stage warm end-to-end (skippable: NELLIE_BENCH_E2E=0)
+    if os.environ.get("NELLIE_BENCH_E2E", "1") != "0":
+        try:
+            stage_s, total_s, t_frames, vox = _e2e_warm_timings()
+            record["e2e_s_per_frame"] = round(total_s / t_frames, 3)
+            record["e2e_mvox_per_s"] = round(t_frames * vox / total_s / 1e6, 2)
+            record["e2e_stage_s_per_frame"] = {
+                k: round(v / t_frames, 3) for k, v in stage_s.items()
+                if k != "total"}
+            print(f"[bench] e2e warm: {record['e2e_s_per_frame']}s/frame, "
+                  f"{record['e2e_mvox_per_s']} Mvox/s "
+                  f"({t_frames}x{vox / 1e6:.1f} Mvox frames)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — e2e is additive, never fatal
+            print(f"[bench] e2e skipped: {exc!r}", file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

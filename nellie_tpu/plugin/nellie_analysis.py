@@ -21,6 +21,8 @@ from qtpy.QtWidgets import (
     QLabel,
     QPushButton,
     QSpinBox,
+    QTableWidget,
+    QTableWidgetItem,
     QVBoxLayout,
     QWidget,
 )
@@ -29,6 +31,7 @@ from nellie_tpu.plugin.analysis_utils import (  # noqa: F401
     LEVEL_TO_CSV,
     LEVELS,
     STAT_SUFFIXES,
+    hierarchy_lookup,
     split_feature_columns,
 )
 
@@ -97,10 +100,17 @@ class NellieAnalysis(QWidget):
         export_row.addWidget(self.export_png_button)
         layout.addLayout(export_row)
 
+        # click -> hierarchy index table (reference nellie_analysis.py:759)
+        self.click_match_table = QTableWidget()
+        self.click_match_table.setMaximumHeight(80)
+        self.click_match_table.setVisible(False)
+        layout.addWidget(self.click_match_table)
+
         layout.addStretch()
         self.setLayout(layout)
 
         self._figure = None
+        self._label_coords = None
 
     # -- data loading -------------------------------------------------------------
     def post_init(self):
@@ -112,6 +122,7 @@ class NellieAnalysis(QWidget):
         if im_info is None:
             return
         self.dfs = {}
+        self._label_coords = None
         for level, key in LEVEL_TO_CSV.items():
             path = im_info.pipeline_paths[key]
             if os.path.exists(path):
@@ -230,6 +241,45 @@ class NellieAnalysis(QWidget):
         self._figure.savefig(path, dpi=150)
         self.stats_label.setText(f"Saved {path}")
 
+    # -- click mapping -----------------------------------------------------------
+    def _get_label_coords(self):
+        """Per-frame foreground coords in voxel-CSV row (argwhere) order."""
+        if self._label_coords is None:
+            im_info = self.nellie.im_info
+            label_memmap = im_info.get_memmap(im_info.pipeline_paths["im_instance_label"])
+            self._label_coords = [np.argwhere(np.asarray(label_memmap[t]) > 0)
+                                  for t in range(label_memmap.shape[0])]
+        return self._label_coords
+
+    def attach_click_lookup(self, layer):
+        """Wire the click->hierarchy lookup onto a napari layer."""
+        if self.get_index not in layer.mouse_drag_callbacks:
+            layer.mouse_drag_callbacks.append(self.get_index)
+
+    def get_index(self, layer, event):
+        """Show the hierarchy rows (voxel/node/branch/organelle/image ids)
+        for the clicked voxel (reference ``nellie_analysis.py:759``)."""
+        im_info = self.nellie.im_info
+        if im_info is None or not self.dfs:
+            return
+        try:
+            coords = self._get_label_coords()
+        except Exception:  # noqa: BLE001 — artifacts may not exist yet
+            return
+        hit = hierarchy_lookup(self.viewer.cursor.position, coords, self.dfs,
+                               self.adjacency, im_info.no_z)
+        if hit is None:
+            return
+        coord_str, headers, values = hit
+        self.click_match_table.clear()
+        self.click_match_table.setRowCount(1)
+        self.click_match_table.setColumnCount(len(headers))
+        self.click_match_table.setHorizontalHeaderLabels(headers)
+        for i, val in enumerate(values):
+            self.click_match_table.setItem(0, i, QTableWidgetItem(val))
+        self.click_match_table.setVerticalHeaderLabels([coord_str])
+        self.click_match_table.setVisible(True)
+
     # -- overlay ----------------------------------------------------------------
     def overlay(self):
         """Paint per-voxel values of the selected feature by pulling it down
@@ -287,8 +337,9 @@ class NellieAnalysis(QWidget):
             self.stats_label.setText("Nothing to overlay.")
             return
         contrast = (float(np.nanmin(finite)), float(np.percentile(finite, 98)))
-        self.viewer.add_image(
+        layer = self.viewer.add_image(
             np.nan_to_num(overlay_im, nan=0.0), name=f"{level}:{col}",
             colormap="turbo", contrast_limits=contrast,
             scale=self.nellie.visualizer.set_scale(),
         )
+        self.attach_click_lookup(layer)

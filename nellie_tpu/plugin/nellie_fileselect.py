@@ -26,8 +26,19 @@ from qtpy.QtWidgets import (
 )
 
 from nellie_tpu.io.verifier import FileInfo, ImInfo
+from nellie_tpu.plugin.fileselect_utils import (
+    INVALID,
+    VALID,
+    dim_validation_states,
+    preview_display_args,
+)
 
 AXIS_OPTIONS = ["", "T", "Z", "C", "Y", "X"]
+
+_DIM_STYLE = {
+    VALID: "background-color: #2e7d32; color: white;",
+    INVALID: "background-color: #c62828; color: white;",
+}
 
 
 class NellieFileSelect(QWidget):
@@ -260,11 +271,15 @@ class NellieFileSelect(QWidget):
         fi = self.file_info
         errors = fi.get_validation_errors() if fi is not None else ["No file"]
         ok = not errors
+        # per-dim red/green styling (reference check_available_dims,
+        # nellie_fileselect.py:715): required+known -> green, required+
+        # missing -> red, not in axes -> neutral + disabled
+        states = dim_validation_states(fi.axes if fi else None,
+                                       fi.dim_res if fi else None)
         for dim, edit in self.dim_edits.items():
-            has = (fi.dim_res or {}).get(dim) is not None if fi and fi.dim_res else False
-            needed = fi is not None and fi.axes is not None and dim in fi.axes
-            color = "#2e7d32" if (has or not needed) else "#c62828"
-            edit.setStyleSheet(f"border: 1px solid {color};")
+            state = states[dim]
+            edit.setStyleSheet(_DIM_STYLE.get(state, ""))
+            edit.setEnabled(state != "na")
         self.status_label.setText("Ready." if ok else "; ".join(errors))
         for b in (self.confirm_button, self.preview_button, self.process_button):
             b.setEnabled(ok)
@@ -279,10 +294,26 @@ class NellieFileSelect(QWidget):
         self.status_label.setText("Canonical OME-TIFF saved.")
 
     def on_preview(self):
+        """Preview the canonical image with µm scale and 2D/3D view picked
+        from the metadata (reference ``nellie_fileselect.py:1022``)."""
         if not self._validate():
             return
-        data = self.file_info.read_file()
-        self.viewer.add_image(data, name=os.path.basename(self.filepath))
+        fi = self.file_info
+        # prefer the canonical OME copy when Confirm has produced it
+        if fi.ome_output_path and os.path.exists(fi.ome_output_path):
+            from nellie_tpu.io import tiff as tiff_mod
+            data = tiff_mod.memmap(fi.ome_output_path)
+        else:
+            data = fi.read_file()
+        scale, ndisplay = preview_display_args(fi.axes, fi.shape, fi.dim_res)
+        kwargs = dict(name=os.path.splitext(os.path.basename(self.filepath))[0],
+                      blending="translucent_no_depth")
+        if scale is not None:
+            kwargs["scale"] = scale
+        self.viewer.dims.ndisplay = ndisplay
+        self.viewer.add_image(data, **kwargs)
+        self.viewer.scale_bar.visible = True
+        self.viewer.scale_bar.unit = "µm"
 
     def on_process(self):
         if not self._validate():

@@ -124,6 +124,8 @@ class Settings(QWidget):
 
         override = None
         if optional:
+            # reference _make_optional_spinbox (nellie_settings.py:382):
+            # value widget stays disabled until Override is checked
             override = QCheckBox("Override")
             override.setChecked(default is not None)
             row.addWidget(override)
@@ -145,6 +147,10 @@ class Settings(QWidget):
             widget = QSpinBox()
             widget.setRange(0, 2**31 - 1)
             widget.setValue(int(default) if default is not None else 0)
+
+        if override is not None:
+            widget.setEnabled(override.isChecked())
+            override.toggled.connect(widget.setEnabled)
 
         row.addWidget(widget)
         container.setLayout(row)

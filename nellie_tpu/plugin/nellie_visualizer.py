@@ -96,8 +96,13 @@ class NellieVisualizer(QWidget):
     def _add_labels(self, path, name):
         im_info = self._im_info()
         data = im_info.get_memmap(path)
-        self.viewer.add_labels(np.asarray(data).astype(np.int32), name=name,
-                               scale=self.set_scale())
+        layer = self.viewer.add_labels(np.asarray(data).astype(np.int32), name=name,
+                                       scale=self.set_scale())
+        # clicking a labeled voxel shows its hierarchy rows in the Analyze tab
+        try:
+            self.nellie.analyzer.attach_click_lookup(layer)
+        except Exception:  # noqa: BLE001 — analysis tab may not be live yet
+            pass
 
     # -- layer openers ------------------------------------------------------------
     def open_raw(self):

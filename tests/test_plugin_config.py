@@ -81,3 +81,77 @@ def test_plugin_gated_without_napari():
 
     with pytest.raises(ImportError, match="napari"):
         plugin.NellieLoader(None)
+
+
+def test_hierarchy_lookup_click_table():
+    """Click->hierarchy mapping (reference nellie_analysis.py:759): a click
+    on a labeled voxel resolves its voxel/node/branch/organelle/image
+    rows through the adjacency edge lists."""
+    import pandas as pd
+
+    from nellie_tpu.plugin.analysis_utils import hierarchy_lookup
+
+    # frame 0 has 3 labeled voxels at known coords (argwhere order)
+    label_coords = [np.array([[1, 2, 3], [1, 2, 4], [5, 6, 7]])]
+    dfs = {
+        "voxel": pd.DataFrame({"t": [0, 0, 0], "idx": [10, 11, 12]}),
+        "node": pd.DataFrame({"t": [0], "node_id": [77]}),
+        "branch": pd.DataFrame({"t": [0, 0], "branch_id": [5, 6]}),
+        "organelle": pd.DataFrame({"t": [0], "organelle_id": [400],
+                                   "label": [9]}),
+        "image": pd.DataFrame({"t": [0], "image_id": [0]}),
+    }
+    adjacency = {
+        "v_n": [np.array([[1, 0]])],          # voxel row 1 -> node row 0
+        "v_b": [np.array([[1, 1], [2, 0]])],  # voxel row 1 -> branch row 1
+        "v_o": [np.array([[1, 9]])],          # voxel row 1 -> organelle LABEL 9
+    }
+
+    hit = hierarchy_lookup((0.2, 1.1, 2.0, 3.9), label_coords, dfs,
+                           adjacency, no_z=False)
+    assert hit is not None
+    coord_str, headers, values = hit
+    assert coord_str == "(t=0, z=1, y=2, x=4)"
+    table = dict(zip(headers, values))
+    assert table["Voxel"] == "0"        # first column of voxel row 1 is t=0
+    assert table["Nodes"] == "0"
+    assert table["Branch"] == "0"
+    assert table["Organelle"] == "0"
+    assert "Image" in table
+
+    # background click -> no hit
+    assert hierarchy_lookup((0, 0, 0, 0), label_coords, dfs, adjacency,
+                            no_z=False) is None
+    # out-of-range frame -> no hit
+    assert hierarchy_lookup((3, 1, 2, 4), label_coords, dfs, adjacency,
+                            no_z=False) is None
+
+
+def test_dim_validation_states():
+    """Per-dim red/green semantics (reference nellie_fileselect.py:715):
+    required+known -> valid, required+missing -> invalid, absent -> na."""
+    from nellie_tpu.plugin.fileselect_utils import dim_validation_states
+
+    states = dim_validation_states("TZYX", {"T": 1.0, "Z": None, "Y": 0.2, "X": 0.2})
+    assert states == {"T": "valid", "Z": "invalid", "Y": "valid", "X": "valid"}
+    states = dim_validation_states("YX", {"Y": 0.2, "X": 0.2})
+    assert states["T"] == "na" and states["Z"] == "na"
+    assert dim_validation_states(None, None)["X"] == "na"
+
+
+def test_preview_display_args():
+    """Preview scale/view selection (reference nellie_fileselect.py:1022)."""
+    from nellie_tpu.plugin.fileselect_utils import preview_display_args
+
+    scale, nd = preview_display_args("TZYX", (4, 16, 64, 64),
+                                     {"Z": 0.5, "Y": 0.2, "X": 0.2})
+    assert scale == (0.5, 0.2, 0.2) and nd == 3
+    scale, nd = preview_display_args("TYX", (4, 64, 64), {"Y": 0.2, "X": 0.2})
+    assert scale == (0.2, 0.2) and nd == 2
+    # singleton Z -> 2D view
+    _, nd = preview_display_args("TZYX", (4, 1, 64, 64),
+                                 {"Z": 0.5, "Y": 0.2, "X": 0.2})
+    assert nd == 2
+    # missing resolutions -> no scale, still picks the right view
+    scale, nd = preview_display_args("TZYX", (4, 16, 64, 64), {})
+    assert scale is None and nd == 3
