@@ -32,6 +32,7 @@ def run(
     skip_nodes=False,
     return_timings=False,
     mesh=None,
+    warm_start=True,
 ):
     """Run the full pipeline on a prepared :class:`FileInfo`.
 
@@ -40,28 +41,53 @@ def run(
     spatial axis (multi-chip; see ``nellie_tpu.mesh``).  Results match
     single-device execution to float-reassociation tolerance (~1e-6).
 
+    ``warm_start``: compile the later stages' XLA programs in background
+    threads (on shape-true shadow data) while Filter owns the device, so
+    a cold run pays ~max(stage compile) instead of the sum — see
+    :mod:`nellie_tpu.pipeline.warmup`.
+
     Returns the :class:`ImInfo` (and per-stage timings dict if
     ``return_timings``).
     """
     im_info = ImInfo(file_info)
     timings = {}
 
+    warmer = None
+    if warm_start and not low_memory and mesh is None and device != "cpu":
+        try:
+            import jax
+
+            # warming pays off when compiles are slow (remote TPU compile
+            # server); on the CPU backend they are not worth shadow runs
+            if jax.default_backend() != "cpu":
+                from nellie_tpu.pipeline.warmup import PipelineWarmer
+
+                warmer = PipelineWarmer(im_info, device=device,
+                                        skip_nodes=skip_nodes)
+                warmer.start()
+        except Exception:  # noqa: BLE001 — warming is best-effort
+            warmer = None
+
     def timed(name, stage):
         start = time.perf_counter()
         stage.run()
         timings[name] = time.perf_counter() - start
 
-    timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
-                           low_memory=low_memory, mesh=mesh))
-    timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
-                         threshold=threshold, device=device, low_memory=low_memory,
-                         mesh=mesh))
-    timed("network", Network(im_info, device=device))
-    timed("markers", Markers(im_info, device=device))
-    timed("tracking", HuMomentTracking(im_info, device=device, low_memory=low_memory))
-    timed("reassign", VoxelReassigner(im_info, device=device))
-    timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
-                                 low_memory=low_memory))
+    try:
+        timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
+                               low_memory=low_memory, mesh=mesh))
+        timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
+                             threshold=threshold, device=device, low_memory=low_memory,
+                             mesh=mesh))
+        timed("network", Network(im_info, device=device))
+        timed("markers", Markers(im_info, device=device))
+        timed("tracking", HuMomentTracking(im_info, device=device, low_memory=low_memory))
+        timed("reassign", VoxelReassigner(im_info, device=device))
+        timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
+                                     low_memory=low_memory))
+    finally:
+        if warmer is not None:
+            warmer.finish()
 
     timings["total"] = sum(timings.values())
     if timeit:
