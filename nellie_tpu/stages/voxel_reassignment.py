@@ -208,6 +208,10 @@ class VoxelReassigner:
         keep = np.asarray(keep, np.int64)
         return vox_prev_matches[keep], vox_next_matches[keep]
 
+    # above this many candidate rows the host lexsorts become the serial
+    # floor; run the voting as one jitted sort+segment-sum program instead
+    DEVICE_VOTE_CUTOVER = 200_000
+
     def _vote_targets(self, target_coords, source_labels, distances):
         """Weighted voting: best source-label per target voxel
         (``voxel_reassignment.py:429-471``)."""
@@ -215,6 +219,11 @@ class VoxelReassigner:
             return (np.empty((0,), np.int64), np.empty((0,), source_labels.dtype),
                     np.empty((0,), np.int64))
         target_flat = np.ravel_multi_index(target_coords.T, self.spatial_shape)
+        if (len(target_flat) >= self.DEVICE_VOTE_CUTOVER
+                and int(np.prod(self.spatial_shape)) < 2**31 - 1):
+            from nellie_tpu.kernels import voting
+
+            return voting.vote_targets(target_flat, source_labels, distances)
         weights = 1.0 / (distances + 1e-6)
         cand_idx = np.arange(len(weights), dtype=np.int64)
 

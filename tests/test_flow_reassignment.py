@@ -127,3 +127,46 @@ def test_assign_unique_matches_one_to_one():
     pairs = {(tuple(a), tuple(b)) for a, b in zip(p, n)}
     assert ((2, 2, 2), (3, 3, 3)) in pairs
     assert ((1, 1, 1), (4, 4, 4)) in pairs
+
+
+def test_device_voting_matches_host_lexsort(rng):
+    """The jitted sort+segment-sum voting must reproduce the host
+    lexsort/reduceat path exactly, including tie-breaks."""
+    from types import SimpleNamespace
+
+    from nellie_tpu.kernels.voting import vote_targets
+    from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+    shape = (8, 64, 64)
+    n = 5000
+    coords = np.column_stack([rng.integers(0, s, n) for s in shape])
+    labels = rng.integers(1, 40, n).astype(np.int32)
+    dists = rng.uniform(0.1, 5.0, n)
+
+    vr = VoxelReassigner.__new__(VoxelReassigner)
+    vr.spatial_shape = shape
+    # host reference: raise the cutover so the numpy lexsort path runs
+    vr.DEVICE_VOTE_CUTOVER = 10**9
+    host = vr._vote_targets(coords, labels, dists)
+
+    flat = np.ravel_multi_index(coords.T, shape)
+    dev = vote_targets(flat, labels, dists)
+
+    np.testing.assert_array_equal(dev[0], host[0])  # targets
+    np.testing.assert_array_equal(dev[1], host[1])  # winning labels
+    np.testing.assert_array_equal(dev[2], host[2])  # representative idx
+
+
+def test_device_voting_duplicate_pairs(rng):
+    """Weight accumulation across duplicate (target, label) rows."""
+    from nellie_tpu.kernels.voting import vote_targets
+
+    # one target, label 1 twice with weight ~1 each, label 2 once with
+    # weight ~1.9 -> label 1 wins on the summed weight
+    flat = np.array([7, 7, 7], np.int64)
+    labels = np.array([1, 1, 2], np.int32)
+    dists = np.array([1.0, 1.0, 1.0 / 1.9 - 1e-6])
+    tgts, lbls, idxs = vote_targets(flat, labels, dists)
+    assert list(tgts) == [7]
+    assert list(lbls) == [1]
+    assert idxs[0] in (0, 1)
