@@ -232,7 +232,9 @@ class Markers:
         else:
             marker, distance, border = markers_frame_distance(
                 jnp.asarray(intensity), jnp.asarray(mask), self._params)
-        return np.asarray(marker), np.asarray(distance), np.asarray(border)
+        # lazy device arrays: the frame loop overlaps the pull with the
+        # next frame's dispatch
+        return marker, distance, border
 
     def _run_frame_chunked(self, t, intensity, mask, chunk_voxels=None):
         """Uniform-shape halo windows (one XLA program per frame) with the
@@ -270,22 +272,34 @@ class Markers:
         return marker, distance, border
 
     # -- main loop -----------------------------------------------------------
+    def _write_frame(self, t, marker_dev, distance_dev, border_dev):
+        marker = np.asarray(marker_dev)
+        distance = np.asarray(distance_dev)
+        border = np.asarray(border_dev)
+        if self.im_info.no_t or self.num_t == 1:
+            self.im_marker_memmap[:] = marker[None] if self.im_marker_memmap.ndim == marker.ndim + 1 else marker
+            self.im_distance_memmap[:] = distance[None] if self.im_distance_memmap.ndim == distance.ndim + 1 else distance
+            self.im_border_memmap[:] = border[None] if self.im_border_memmap.ndim == border.ndim + 1 else border
+        else:
+            self.im_marker_memmap[t] = marker
+            self.im_distance_memmap[t] = distance
+            self.im_border_memmap[t] = border
+        self.im_marker_memmap.flush()
+        self.im_distance_memmap.flush()
+        self.im_border_memmap.flush()
+
     def _run_mocap_marking(self):
+        # frame t+1's kernels dispatch before frame t's results are pulled
+        pending = None
         for t in range(self.num_t):
             if self.viewer is not None:
                 self.viewer.status = f"Running mocap marking. Frame: {t + 1} of {self.num_t}."
-            marker, distance, border = self._run_frame(t, low_memory=self.low_memory)
-            if self.im_info.no_t or self.num_t == 1:
-                self.im_marker_memmap[:] = marker[None] if self.im_marker_memmap.ndim == marker.ndim + 1 else marker
-                self.im_distance_memmap[:] = distance[None] if self.im_distance_memmap.ndim == distance.ndim + 1 else distance
-                self.im_border_memmap[:] = border[None] if self.im_border_memmap.ndim == border.ndim + 1 else border
-            else:
-                self.im_marker_memmap[t] = marker
-                self.im_distance_memmap[t] = distance
-                self.im_border_memmap[t] = border
-            self.im_marker_memmap.flush()
-            self.im_distance_memmap.flush()
-            self.im_border_memmap.flush()
+            devs = self._run_frame(t, low_memory=self.low_memory)
+            if pending is not None:
+                self._write_frame(pending[0], *pending[1])
+            pending = (t, devs)
+        if pending is not None:
+            self._write_frame(pending[0], *pending[1])
 
     def run(self):
         """Always runs — distance/border feed feature extraction even

@@ -193,7 +193,10 @@ class Network:
             self.im_info.pipeline_paths["im_skel_relabelled"],
             dtype="uint32", description="skeleton relabelled image", return_memmap=True)
 
-    def _run_frame(self, t):
+    def _run_frame_device(self, t):
+        """Dispatch one frame's kernels; returns lazy device arrays so the
+        caller can overlap the next frame's dispatch with this result's
+        device->host pull (same pattern as Filter's write-behind)."""
         logger.info(f"Running network analysis, volume {t}/{self.num_t - 1}")
         label_frame = jnp.asarray(np.ascontiguousarray(self.label_memmap[t]), dtype=jnp.int32)
         frangi_frame = jnp.asarray(np.ascontiguousarray(self.im_frangi_memmap[t]), dtype=jnp.float32)
@@ -208,9 +211,12 @@ class Network:
         pixel_class = _pixel_class_kernel(skel)
         branch_skel_labels = _branch_skel_labels_kernel(pixel_class)
         branch_labels = _relabel_objects_kernel(branch_skel_labels, label_frame, self.scaling)
+        return jnp.where(skel > 0, branch_skel_labels, 0), pixel_class, branch_labels
 
+    def _run_frame(self, t):
+        skel, pixel_class, branch_labels = self._run_frame_device(t)
         return (
-            np.asarray(jnp.where(skel > 0, branch_skel_labels, 0), dtype=np.int32),
+            np.asarray(skel, dtype=np.int32),
             np.asarray(pixel_class),
             np.asarray(branch_labels, dtype=np.uint32),
         )
@@ -279,22 +285,35 @@ class Network:
             pc[tuple(demote.T)] = 3
         return pc
 
+    def _write_frame(self, t, skel_dev, pixel_class_dev, branch_dev):
+        skel = np.asarray(skel_dev, dtype=np.int32)
+        pixel_class = np.asarray(pixel_class_dev)
+        skel_relabelled = np.asarray(branch_dev, dtype=np.uint32)
+        if self.im_info.no_t or self.num_t == 1:
+            self.skel_memmap[:] = skel[None] if self.skel_memmap.ndim == skel.ndim + 1 else skel
+            self.pixel_class_memmap[:] = pixel_class[None] if self.pixel_class_memmap.ndim == pixel_class.ndim + 1 else pixel_class
+            self.skel_relabelled_memmap[:] = skel_relabelled[None] if self.skel_relabelled_memmap.ndim == skel_relabelled.ndim + 1 else skel_relabelled
+        else:
+            self.skel_memmap[t] = skel
+            self.pixel_class_memmap[t] = pixel_class
+            self.skel_relabelled_memmap[t] = skel_relabelled
+        self.skel_memmap.flush()
+        self.pixel_class_memmap.flush()
+        self.skel_relabelled_memmap.flush()
+
     def _run_networking(self):
+        # frame t+1's kernels dispatch before frame t's results are pulled
+        # to host/disk (async JAX dispatch overlaps them)
+        pending = None
         for t in range(self.num_t):
             if self.viewer is not None:
                 self.viewer.status = f"Extracting branches. Frame: {t + 1} of {self.num_t}."
-            skel, pixel_class, skel_relabelled = self._run_frame(t)
-            if self.im_info.no_t or self.num_t == 1:
-                self.skel_memmap[:] = skel[None] if self.skel_memmap.ndim == skel.ndim + 1 else skel
-                self.pixel_class_memmap[:] = pixel_class[None] if self.pixel_class_memmap.ndim == pixel_class.ndim + 1 else pixel_class
-                self.skel_relabelled_memmap[:] = skel_relabelled[None] if self.skel_relabelled_memmap.ndim == skel_relabelled.ndim + 1 else skel_relabelled
-            else:
-                self.skel_memmap[t] = skel
-                self.pixel_class_memmap[t] = pixel_class
-                self.skel_relabelled_memmap[t] = skel_relabelled
-            self.skel_memmap.flush()
-            self.pixel_class_memmap.flush()
-            self.skel_relabelled_memmap.flush()
+            devs = self._run_frame_device(t)
+            if pending is not None:
+                self._write_frame(pending[0], *pending[1])
+            pending = (t, devs)
+        if pending is not None:
+            self._write_frame(pending[0], *pending[1])
 
     def run(self):
         def attempt(dev, low):
