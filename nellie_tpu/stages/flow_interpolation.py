@@ -152,6 +152,9 @@ class FlowInterpolator:
         finite = ~np.isnan(coords).any(axis=1)
         query_scaled = np.where(finite[:, None], coords * scaling, 0.0).astype(np.float32)
 
+        # tile i+1's kernel dispatches before tile i's result is pulled,
+        # overlapping the device->host transfer with compute
+        pending = None
         for start in range(0, coords.shape[0], tile):
             end = min(start + tile, coords.shape[0])
             qb = _bucket(end - start)
@@ -163,7 +166,13 @@ class FlowInterpolator:
                 jnp.asarray(q), jnp.asarray(qv), jnp.asarray(flow_p), jnp.asarray(fvalid),
                 jnp.asarray(vec_p), jnp.asarray(cost_p), jnp.float32(self.max_distance_um),
             )
-            out[start:end] = np.asarray(res)[: end - start]
+            if pending is not None:
+                ps, pe, pres = pending
+                out[ps:pe] = np.asarray(pres)[: pe - ps]
+            pending = (start, end, res)
+        if pending is not None:
+            ps, pe, pres = pending
+            out[ps:pe] = np.asarray(pres)[: pe - ps]
         return out
 
 
