@@ -26,7 +26,7 @@ from nellie_tpu.io.verifier import ImInfo
 from nellie_tpu.kernels import ccl
 from nellie_tpu.kernels import thresholds as thr_k
 from nellie_tpu.kernels.filters import uniform_filter
-from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils import adaptive_run, transfer
 from nellie_tpu.utils.base_logger import logger
 
 _UNSET = object()
@@ -248,7 +248,8 @@ class Label:
             jnp.float32(frangi_thresh),
             self.min_area_pixels, fill, use_intensity,
         )
-        return np.asarray(labels)
+        # narrow uint16 pull when the label count fits (halves link bytes)
+        return transfer.finish_label_pull(transfer.prep_label_pull(labels), np.int32)
 
     def _run_frame_full_volume(self, t, original_view, frangi_view, intensity_thresh, frangi_thresh):
         logger.info(f"Running semantic segmentation, volume {t}/{self.num_t - 1}")

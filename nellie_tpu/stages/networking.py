@@ -33,7 +33,7 @@ from nellie_tpu.io.verifier import ImInfo
 from nellie_tpu.kernels import ccl, edt
 from nellie_tpu.kernels.filters import maximum_filter, minimum_filter, sum_filter
 from nellie_tpu.kernels.skeleton import skeletonize_2d, skeletonize_3d
-from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils import adaptive_run, transfer
 from nellie_tpu.utils.base_logger import logger
 
 
@@ -211,14 +211,17 @@ class Network:
         pixel_class = _pixel_class_kernel(skel)
         branch_skel_labels = _branch_skel_labels_kernel(pixel_class)
         branch_labels = _relabel_objects_kernel(branch_skel_labels, label_frame, self.scaling)
-        return jnp.where(skel > 0, branch_skel_labels, 0), pixel_class, branch_labels
+        # narrow (uint16) pull copies dispatched with this frame's batch
+        return (transfer.prep_label_pull(jnp.where(skel > 0, branch_skel_labels, 0)),
+                pixel_class,
+                transfer.prep_label_pull(branch_labels))
 
     def _run_frame(self, t):
         skel, pixel_class, branch_labels = self._run_frame_device(t)
         return (
-            np.asarray(skel, dtype=np.int32),
+            transfer.finish_label_pull(skel, np.int32),
             np.asarray(pixel_class),
-            np.asarray(branch_labels, dtype=np.uint32),
+            transfer.finish_label_pull(branch_labels, np.uint32),
         )
 
     def _get_sigma_vec(self, sigma):
@@ -286,9 +289,9 @@ class Network:
         return pc
 
     def _write_frame(self, t, skel_dev, pixel_class_dev, branch_dev):
-        skel = np.asarray(skel_dev, dtype=np.int32)
+        skel = transfer.finish_label_pull(skel_dev, np.int32)
         pixel_class = np.asarray(pixel_class_dev)
-        skel_relabelled = np.asarray(branch_dev, dtype=np.uint32)
+        skel_relabelled = transfer.finish_label_pull(branch_dev, np.uint32)
         if self.im_info.no_t or self.num_t == 1:
             self.skel_memmap[:] = skel[None] if self.skel_memmap.ndim == skel.ndim + 1 else skel
             self.pixel_class_memmap[:] = pixel_class[None] if self.pixel_class_memmap.ndim == pixel_class.ndim + 1 else pixel_class
