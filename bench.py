@@ -210,6 +210,22 @@ def main():
         "vs_baseline": round(vox_per_sec / base_vox_per_sec, 2),
     }
 
+    # device->host link health: the per-frame stage loops are transfer-
+    # bound on tunnelled backends, so e2e numbers are only interpretable
+    # next to the link bandwidth at measurement time (observed range on
+    # the shared tunnel: 0.3 - 30+ MB/s)
+    try:
+        probe = jnp.zeros((16, 1024, 1024), jnp.float32)  # 64 MB
+        probe = jax.device_put(probe, dev) + 1.0
+        float(jnp.sum(probe))  # fence
+        t0 = time.perf_counter()
+        np.asarray(probe)
+        record_link = round(64.0 / (time.perf_counter() - t0), 1)
+    except Exception:  # noqa: BLE001
+        record_link = None
+    record["link_down_mb_per_s"] = record_link
+    print(f"[bench] device->host link: {record_link} MB/s", file=sys.stderr)
+
     # full seven-stage warm end-to-end (skippable: NELLIE_BENCH_E2E=0)
     if os.environ.get("NELLIE_BENCH_E2E", "1") != "0":
         try:

@@ -52,10 +52,16 @@ def hull_halfspaces_2d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
     return normals, offsets
 
 
-def hull_halfspaces_3d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+def hull_halfspaces_3d(points: np.ndarray, tol: float = 1e-7,
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Quickhull -> (A, b) half-space system; None for degenerate input
     (all points coplanar/collinear). Faces carry precomputed plane data;
-    point-vs-face visibility is vectorised."""
+    point-vs-face visibility is vectorised.
+
+    ``tol``: points within ``tol`` of a facet count as inside.  1e-7 is
+    exact for integer voxel coordinates; a half-voxel tolerance (0.5)
+    bounds the facet explosion on huge smooth voxel surfaces at a
+    sub-voxel approximation cost (used for giant regions only)."""
     pts = np.unique(np.asarray(points, np.float64), axis=0)
     n = len(pts)
     if n < 4:
@@ -106,7 +112,7 @@ def hull_halfspaces_3d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
     all_idx = np.arange(n)
     for f in faces:
         dd = pts[all_idx] @ f["n"] - f["off"]
-        sel = dd > 1e-7
+        sel = dd > tol
         f["out"], f["d"] = all_idx[sel], dd[sel]
 
     max_iter = 8 * n + 64
@@ -119,7 +125,7 @@ def hull_halfspaces_3d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
         # visible faces (vectorised over the face list)
         normals = np.stack([f["n"] for f in faces])
         offs = np.asarray([f["off"] for f in faces])
-        vis = normals @ p_far - offs > 1e-9
+        vis = normals @ p_far - offs > min(tol, 1e-9)
         if not vis.any():
             for f in faces:
                 keep = f["out"] != far
@@ -145,7 +151,7 @@ def hull_halfspaces_3d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
                 continue
             if len(orphan):
                 dd = pts[orphan] @ nf["n"] - nf["off"]
-                sel = dd > 1e-7
+                sel = dd > tol
                 nf["out"], nf["d"] = orphan[sel], dd[sel]
             faces.append(nf)
 
@@ -161,12 +167,42 @@ def _dedup_planes(A: np.ndarray, b: np.ndarray, decimals: int = 7):
     return A[idx], b[idx]
 
 
+def _row_extremes(coords: np.ndarray) -> np.ndarray:
+    """Exact hull-candidate reduction: any voxel strictly between its
+    row's min-x and max-x is a convex combination of those extremes, so
+    every hull vertex is a per-(leading dims)-row x-extreme.  Cuts the
+    quickhull input from O(volume) to <= 2 x rows."""
+    lead, x = coords[:, :-1], coords[:, -1]
+    # 1D-encoded unique (np.unique(axis=0)'s void-view path is ~5x slower)
+    dims = lead.max(axis=0) + 1
+    key = np.ravel_multi_index(tuple(lead.T), tuple(dims))
+    ukey, inv = np.unique(key, return_inverse=True)
+    rows = np.column_stack(np.unravel_index(ukey, tuple(dims)))
+    n_rows = len(rows)
+    mn = np.full(n_rows, np.iinfo(np.int64).max)
+    mx = np.full(n_rows, np.iinfo(np.int64).min)
+    np.minimum.at(mn, inv, x)
+    np.maximum.at(mx, inv, x)
+    lo = np.column_stack([rows, mn])
+    hi = np.column_stack([rows, mx])
+    same = mn == mx
+    return np.concatenate([lo, hi[~same]])
+
+
 def convex_image_count(coords: np.ndarray) -> Optional[int]:
     """Number of integer grid points (over the coords' bbox) inside the
     convex hull — skimage's discrete ``convex_image`` voxel count."""
     coords = np.asarray(coords)
     ndim = coords.shape[1]
-    hs = hull_halfspaces_2d(coords) if ndim == 2 else hull_halfspaces_3d(coords)
+    if len(coords) > 64:
+        coords = _row_extremes(coords)
+    # giant smooth voxel surfaces explode the exact facet count; a
+    # half-voxel facet tolerance bounds it at sub-voxel count error
+    tol = 1e-7 if len(coords) <= 2048 else 0.5
+    if ndim == 2:
+        hs = hull_halfspaces_2d(coords)
+    else:
+        hs = hull_halfspaces_3d(coords, tol=tol)
     if hs is None:
         return None
     A, b = _dedup_planes(*hs)
@@ -182,7 +218,7 @@ def convex_image_count(coords: np.ndarray) -> Optional[int]:
     lead = np.column_stack(np.unravel_index(np.arange(n_rows), lead_dims)) \
         if lead_dims else np.zeros((1, 0))
     lead = lead.astype(np.float64) + mins[:-1][None, :]
-    c = b[None, :] + 1e-7 - lead @ A[:, :-1].T  # (rows, planes)
+    c = b[None, :] + max(tol, 1e-7) - lead @ np.ascontiguousarray(A[:, :-1].T)
     a_last = A[:, -1]
     pos = a_last > 1e-12
     neg = a_last < -1e-12
