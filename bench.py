@@ -143,7 +143,9 @@ def _e2e_warm_timings(shape=(3, 64, 256, 256)):
             fi = FileInfo(path)
             fi.find_metadata()
             fi.load_metadata()
-            _, timings = run(fi, timeit=True, return_timings=True)
+            # timeit=False: stdout must stay a single JSON line for the
+            # driver; per-stage numbers come back via return_timings
+            _, timings = run(fi, return_timings=True)
         return timings, float(timings["total"]), t_frames, int(np.prod(vol))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -277,10 +277,20 @@ class Label:
         had_merges = False
         for z_start in range(0, z_dim, chunk):
             z_end = min(z_start + chunk, z_dim)
+            ov = original_view[z_start:z_end]
+            fv = frangi_view[z_start:z_end]
+            ragged = z_end - z_start
+            if ragged < chunk:
+                # zero-pad the final chunk to the uniform depth so every
+                # chunk runs the SAME compiled program (the zero slab is
+                # background: border-reachability hole fill and the area
+                # filter see it exactly like the array border)
+                pad = [(0, chunk - ragged)] + [(0, 0)] * (ov.ndim - 1)
+                ov = np.pad(np.asarray(ov), pad)
+                fv = np.pad(np.asarray(fv), pad)
             labels_chunk = self._label_volume(
-                original_view[z_start:z_end], frangi_view[z_start:z_end],
-                intensity_thresh, frangi_thresh, fill=True,
-            )
+                ov, fv, intensity_thresh, frangi_thresh, fill=True,
+            )[:z_end - z_start]
             max_label = int(labels_chunk.max())
             if max_label > 0:
                 labels_chunk = labels_chunk.astype(np.int32)
