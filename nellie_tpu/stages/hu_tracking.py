@@ -44,6 +44,13 @@ class _FrameFeatures:
 
 
 @jax.jit
+def _gather_kernel(arr, coords):
+    """Values of ``arr`` at integer coords — a device gather so only the
+    sampled values cross the link, not the whole frame."""
+    return arr[tuple(coords[:, d] for d in range(coords.shape[1]))]
+
+
+@jax.jit
 def _prep_frame_kernel(frangi, distance):
     """Log-normalised Frangi + 2x dilated distance (``hu_tracking.py:595-607``)."""
     f = frangi.astype(jnp.float32)
@@ -174,8 +181,12 @@ class HuMomentTracking:
             )
 
         frangi_norm, dil_dist = _prep_frame_kernel(jnp.asarray(frangi), jnp.asarray(distance))
-        dil_np = np.asarray(dil_dist)
-        radii = dil_np[tuple(coords.T)]
+        # gather marker radii on device: pulls n floats instead of the
+        # whole dilated-distance frame
+        nb = _next_multiple(coords.shape[0], 1024)
+        cpad = np.zeros((nb, dims), np.int32)
+        cpad[: coords.shape[0]] = coords
+        radii = np.asarray(_gather_kernel(dil_dist, jnp.asarray(cpad)))[: coords.shape[0]]
         max_radius = int(np.ceil(radii.max())) * 2 + 1
         r = _next_multiple(max(max_radius, 3), 4)
 
@@ -185,7 +196,7 @@ class HuMomentTracking:
 
         n = coords.shape[0]
         chunk = self.roi_chunk
-        stats_rows, hu_rows = [], []
+        stats_dev, hu_dev, counts = [], [], []
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
             cnum = end - start
@@ -200,8 +211,12 @@ class HuMomentTracking:
                 jnp.asarray(c), jnp.asarray(rad), jnp.asarray(val),
                 r, self.im_info.no_z,
             )
-            stats_rows.append(np.asarray(stats)[:cnum])
-            hu_rows.append(np.asarray(hu)[:cnum])
+            # lazy: all bucket kernels dispatch before any result is pulled
+            stats_dev.append(stats)
+            hu_dev.append(hu)
+            counts.append(cnum)
+        stats_rows = [np.asarray(s)[:c] for s, c in zip(stats_dev, counts)]
+        hu_rows = [np.asarray(h)[:c] for h, c in zip(hu_dev, counts)]
 
         coords_phys = coords * np.asarray(self.scaling, float)
         return _FrameFeatures(
