@@ -17,6 +17,7 @@ Entry points: :func:`make_mesh`, :func:`shard_volume`,
 :func:`sharded_segment_step`.
 """
 from nellie_tpu.mesh.sharded import (  # noqa: F401
+    make_hybrid_mesh,
     make_mesh,
     shard_volume,
     sharded_segment_step,

@@ -183,3 +183,25 @@ def sharded_segment_step(
 
     fn = jax.jit(step, in_shardings=in_sharding, out_shardings=out_sharding)
     return fn(jax.device_put(batch, in_sharding))
+
+
+def make_hybrid_mesh(t_axis: Optional[int] = None) -> Mesh:
+    """Multi-slice mesh: the batch axis ('t' — frames/files) rides DCN
+    across slices, the spatial axis ('z' — halo exchange) stays on ICI
+    within each slice (SURVEY §5.8: DCN only for embarrassingly-parallel
+    batch sharding; stencil halos must never cross DCN).
+
+    Falls back to :func:`make_mesh` on single-slice or non-TPU backends
+    (CPU test meshes have no slice topology).
+    """
+    devices = jax.devices()
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None in slice_ids or len(slice_ids) <= 1:
+        return make_mesh(t_axis=t_axis or 1)
+    n_slices = len(slice_ids)
+    per_slice = len(devices) // n_slices
+    from jax.experimental import mesh_utils
+
+    grid = mesh_utils.create_hybrid_device_mesh(
+        (1, per_slice), (n_slices, 1), devices)
+    return Mesh(grid, ("t", "z"))

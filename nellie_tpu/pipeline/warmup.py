@@ -39,6 +39,11 @@ logger = logging.getLogger(__name__)
 # frames in every shadow dataset: 2 covers both the t==0 and t>0 code
 # paths of tracking / reassignment / motility
 _SHADOW_T = 2
+
+# frame shapes already warmed in this process: compiled programs are
+# cached per (shape, static args), so re-running the shadow stages would
+# only burn device time alongside the real pipeline
+_WARMED_SHAPES: set = set()
 # skip warming when a frame exceeds this many voxels — such runs take the
 # low-memory chunked paths whose chunk shapes are chosen at run time
 _MAX_WARM_VOXELS = 64 * 1024 * 1024
@@ -198,6 +203,8 @@ class PipelineWarmer:
     def applicable(self):
         if int(np.prod(self.frame_shape)) > _MAX_WARM_VOXELS:
             return False
+        if (self.frame_shape, self.no_z, self.no_t) in _WARMED_SHAPES:
+            return False
         return True
 
     # concurrent warm workers: enough to overlap with the main thread's
@@ -208,6 +215,7 @@ class PipelineWarmer:
     def start(self):
         if not self.applicable():
             return False
+        _WARMED_SHAPES.add((self.frame_shape, self.no_z, self.no_t))
         self.root = tempfile.mkdtemp(prefix="nellie_warmup_")
         names = [s for s in self.stages
                  if not (self.no_t and s in ("tracking", "reassign"))]

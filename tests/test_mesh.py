@@ -169,3 +169,14 @@ def test_cli_parse_mesh():
     assert m.shape["t"] == 8 and m.shape["z"] == 1
     m = parse_mesh("2x4")
     assert m.shape["t"] == 2 and m.shape["z"] == 4
+
+
+def test_make_hybrid_mesh_fallback():
+    """On single-slice / CPU backends the hybrid constructor must fall
+    back to the flat (t, z) mesh (DCN policy only applies multi-slice)."""
+    from nellie_tpu.mesh import make_hybrid_mesh, make_mesh
+
+    m = make_hybrid_mesh(t_axis=2)
+    flat = make_mesh(t_axis=2)
+    assert m.axis_names == ("t", "z")
+    assert m.devices.size == flat.devices.size

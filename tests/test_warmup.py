@@ -59,3 +59,23 @@ def test_warmer_skips_oversized_frames(tmp_path):
     w.frame_shape = (1024, 1024, 1024)
     assert not w.applicable()
     assert not w.start()
+
+
+def test_warmer_runs_once_per_shape(tmp_path):
+    """A second warmer for the same frame shape must be a no-op: the
+    programs are already in the executable cache, and shadow compute
+    would otherwise compete with the real (warm) pipeline run."""
+    from nellie_tpu.pipeline import warmup
+
+    src = synthesize_shadow(str(tmp_path), (8, 40, 40),
+                            {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 1.0},
+                            no_z=False, no_t=False)
+    warmup._WARMED_SHAPES.discard(((8, 40, 40), False, False))
+    w1 = PipelineWarmer(src, device="cpu", stages=("label",))
+    assert w1.start()
+    for t in w1._threads:
+        t.join(timeout=300)
+    w1.finish()
+    w2 = PipelineWarmer(src, device="cpu", stages=("label",))
+    assert not w2.applicable()
+    assert not w2.start()
