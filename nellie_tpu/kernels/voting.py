@@ -8,8 +8,13 @@ stage's serial floor.  Here the same semantics run as ONE jitted XLA
 program: a stable multi-key ``lax.sort`` groups candidates by
 (target, label) with the best candidate first, a segment-sum accumulates
 pair weights, and a second stable sort by (target, -pair_weight) picks
-each target's winning label — identical tie-breaking to the host path
-(stable sorts; equal pair sums fall back to ascending label order).
+each target's winning label — the same tie-breaking RULES as the host
+path (stable sorts; equal pair sums fall back to ascending label
+order).  One caveat: weight sums accumulate in float32 here vs float64
+on the host path, so winners whose pair sums differ by less than f32
+resolution can flip between the two implementations (the cutover in
+voxel_reassignment.py is by candidate count; near-ties at that scale
+are voting noise either way).
 
 Counts are padded to power-of-two buckets so repeated frames reuse one
 compiled program per bucket.  Flat target indices must fit int32

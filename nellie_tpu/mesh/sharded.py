@@ -200,8 +200,17 @@ def make_hybrid_mesh(t_axis: Optional[int] = None) -> Mesh:
         return make_mesh(t_axis=t_axis or 1)
     n_slices = len(slice_ids)
     per_slice = len(devices) // n_slices
+    if t_axis is None:
+        t_per_slice = 1
+    else:
+        if t_axis % n_slices != 0 or per_slice % (t_axis // n_slices) != 0:
+            raise ValueError(
+                f"t_axis={t_axis} must be a multiple of the slice count "
+                f"({n_slices}) and its per-slice share must divide the "
+                f"{per_slice} chips per slice")
+        t_per_slice = t_axis // n_slices
     from jax.experimental import mesh_utils
 
     grid = mesh_utils.create_hybrid_device_mesh(
-        (1, per_slice), (n_slices, 1), devices)
+        (t_per_slice, per_slice // t_per_slice), (n_slices, 1), devices)
     return Mesh(grid, ("t", "z"))

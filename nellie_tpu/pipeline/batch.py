@@ -66,8 +66,9 @@ def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
         f._allocate_memory()
         f._set_default_sigmas()
     params = filters[0]._params
-    frame_shape = filters[0].im_memmap.shape[1:] if not im_infos[0].no_t \
-        else filters[0].im_memmap.shape
+    # canonical artifacts are always T-first (save_ome_tiff prepends T;
+    # no_t just means the extent is 1), so indexing [t] is unconditional
+    frame_shape = filters[0].im_memmap.shape[1:]
     sharding = batch_sharding(mesh, frame_shape)
 
     work = list(_frame_stream(filters))
@@ -75,8 +76,7 @@ def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
     for start in range(0, len(work), tb):
         group = work[start:start + tb]
         frames = np.stack([
-            np.asarray(filters[i].im_memmap[t] if not im_infos[i].no_t
-                       else filters[i].im_memmap) for i, t in group])
+            np.asarray(filters[i].im_memmap[t]) for i, t in group])
         if len(group) < tb:
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], tb - len(group), axis=0)])
@@ -140,7 +140,8 @@ def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
 
 def run_files(file_infos, mesh=None, remove_edges=False,
               otsu_thresh_intensity=False, threshold=None,
-              device="auto", low_memory=False, skip_nodes=False):
+              device="auto", low_memory=False, skip_nodes=False,
+              timeit=False):
     """Run the pipeline over a batch of prepared FileInfos.
 
     With a multi-'t' mesh and shape-compatible files, Filter+Label run
@@ -148,6 +149,8 @@ def run_files(file_infos, mesh=None, remove_edges=False,
     files process sequentially through the standard ``run()``.
     Returns the list of ImInfos.
     """
+    import time
+
     from nellie_tpu.pipeline.run import run
 
     im_infos = [ImInfo(fi) for fi in file_infos]
@@ -159,20 +162,36 @@ def run_files(file_infos, mesh=None, remove_edges=False,
             run(fi, remove_edges=remove_edges,
                 otsu_thresh_intensity=otsu_thresh_intensity,
                 threshold=threshold, device=device, low_memory=low_memory,
-                skip_nodes=skip_nodes, mesh=mesh)
+                skip_nodes=skip_nodes, mesh=mesh, timeit=timeit)
         return im_infos
 
     logger.info("Batch: %d files data-parallel over mesh t=%d",
                 len(im_infos), int(mesh.shape["t"]))
-    _segment_files_batched(
+
+    timings = {}
+
+    def timed(name, fn):
+        start = time.perf_counter()
+        fn()
+        timings[name] = time.perf_counter() - start
+
+    timed("segment (batched Filter+Label)", lambda: _segment_files_batched(
         im_infos, mesh,
         filter_kwargs={"remove_edges": remove_edges, "device": device},
         label_kwargs={"otsu_thresh_intensity": otsu_thresh_intensity,
-                      "threshold": threshold, "device": device})
-    for im_info in im_infos:
-        Network(im_info, device=device).run()
-        Markers(im_info, device=device).run()
-        HuMomentTracking(im_info, device=device).run()
-        VoxelReassigner(im_info, device=device).run()
-        Hierarchy(im_info, skip_nodes=skip_nodes, device=device).run()
+                      "threshold": threshold, "device": device}))
+
+    def per_file():
+        for im_info in im_infos:
+            Network(im_info, device=device).run()
+            Markers(im_info, device=device).run()
+            HuMomentTracking(im_info, device=device).run()
+            VoxelReassigner(im_info, device=device).run()
+            Hierarchy(im_info, skip_nodes=skip_nodes, device=device).run()
+
+    timed("per-file stages 3-7", per_file)
+    if timeit:
+        for name, secs in timings.items():
+            print(f"Nellie Batch: {name} took {secs:.4f} seconds")
+        print(f"Nellie Batch: Total time took {sum(timings.values()):.4f} seconds")
     return im_infos

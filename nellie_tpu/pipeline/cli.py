@@ -55,7 +55,7 @@ def process_files(files, ch, num_t, output_dir, mesh=None, timeit=False, **kwarg
             except Exception as exc:  # noqa: BLE001 - batch robustness
                 print(f"Failed to prepare {tif_file}: {exc}")
         if file_infos:
-            run_files(file_infos, mesh=mesh, **kwargs)
+            run_files(file_infos, mesh=mesh, timeit=timeit, **kwargs)
         return
     for file_num, tif_file in enumerate(files):
         print(f"Processing file {file_num + 1} of {len(files)}, channel {ch}")

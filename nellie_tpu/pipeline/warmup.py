@@ -44,9 +44,12 @@ _SHADOW_T = 2
 # cached per (shape, static args), so re-running the shadow stages would
 # only burn device time alongside the real pipeline
 _WARMED_SHAPES: set = set()
-# skip warming when a frame exceeds this many voxels — such runs take the
-# low-memory chunked paths whose chunk shapes are chosen at run time
-_MAX_WARM_VOXELS = 64 * 1024 * 1024
+# skip warming when a frame exceeds this many voxels: such runs take the
+# low-memory chunked paths whose chunk shapes are chosen at run time,
+# AND the shadow stages execute real device kernels concurrently with the
+# main run — at large frame sizes their HBM footprint could push the
+# REAL stage into the adaptive ladder's low-memory fallback
+_MAX_WARM_VOXELS = 32 * 1024 * 1024
 
 
 def _tube_phantom(spatial_shape):

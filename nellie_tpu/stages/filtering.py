@@ -280,16 +280,17 @@ class Filter:
                 core_shape, _ = uniform_window_shapes(shape, chunk_shape, halo)
                 vessel_out = np.zeros(shape, dtype=np.float32)
                 pending = None
-                for core, ext, offset in iter_uniform_windows(shape, chunk_shape, halo):
+                for owned, ext, offset, local in iter_uniform_windows(
+                        shape, chunk_shape, halo):
                     # raw-dtype upload (uint16 halves tunnel traffic)
                     chunk = jax.device_put(np.ascontiguousarray(frame_cpu[ext]), dev)
                     v, m = frangi_k.vesselness_frame(chunk, self._params, apply_mask=mask)
                     v_core = _crop_core(v, jnp.asarray(offset, jnp.int32), core_shape)
                     if pending is not None:
-                        vessel_out[pending[0]] = np.asarray(pending[1])
-                    pending = (core, v_core)
+                        vessel_out[pending[0]] = np.asarray(pending[1])[pending[2]]
+                    pending = (owned, v_core, local)
                 if pending is not None:
-                    vessel_out[pending[0]] = np.asarray(pending[1])
+                    vessel_out[pending[0]] = np.asarray(pending[1])[pending[2]]
                 # stay on host: finalize/remove_edges run in numpy, so the
                 # assembled frame never re-crosses the host<->device link
                 if self.remove_edges:

@@ -250,7 +250,7 @@ class Markers:
             np.ascontiguousarray(self.im_frangi_memmap[t]) if self.use_im == "frangi" else None
         )
         pending = None
-        for core, ext, offset in iter_uniform_windows(shape, chunk_shape, halo):
+        for owned, ext, offset, local in iter_uniform_windows(shape, chunk_shape, halo):
             m = jnp.asarray(np.ascontiguousarray(mask[ext]))
             i = jnp.asarray(np.ascontiguousarray(intensity[ext]))
             if frangi is not None:
@@ -258,17 +258,18 @@ class Markers:
             else:
                 mk, di, bo = markers_frame_distance(i, m, self._params)
             offs = jnp.asarray(offset, jnp.int32)
-            cur = (core, crop_core(mk, offs, core_shape),
-                   crop_core(di, offs, core_shape), crop_core(bo, offs, core_shape))
+            cur = (owned, crop_core(mk, offs, core_shape),
+                   crop_core(di, offs, core_shape), crop_core(bo, offs, core_shape),
+                   local)
             if pending is not None:
-                marker[pending[0]] = np.asarray(pending[1])
-                distance[pending[0]] = np.asarray(pending[2])
-                border[pending[0]] = np.asarray(pending[3])
+                marker[pending[0]] = np.asarray(pending[1])[pending[4]]
+                distance[pending[0]] = np.asarray(pending[2])[pending[4]]
+                border[pending[0]] = np.asarray(pending[3])[pending[4]]
             pending = cur
         if pending is not None:
-            marker[pending[0]] = np.asarray(pending[1])
-            distance[pending[0]] = np.asarray(pending[2])
-            border[pending[0]] = np.asarray(pending[3])
+            marker[pending[0]] = np.asarray(pending[1])[pending[4]]
+            distance[pending[0]] = np.asarray(pending[2])[pending[4]]
+            border[pending[0]] = np.asarray(pending[3])[pending[4]]
         return marker, distance, border
 
     # -- main loop -----------------------------------------------------------

@@ -54,9 +54,11 @@ def _tile_alignments(ndim):
 def uniform_window_shapes(shape, chunk_shape, halo):
     """(core_shape, ext_shape) for the static-shape window tiling.
 
-    The extended shape is rounded up to TPU tile alignment (extra context
-    beyond the required halo is harmless — values are window-invariant),
-    clipped to the volume."""
+    The extended shape is rounded up to TPU tile alignment, clipped to
+    the volume.  (Window-global statistics — the Frangi gamma/Frobenius
+    thresholds — see the whole extended window, so chunked output is
+    deterministic per tiling but not bit-identical to the unchunked
+    path; same property as the reference's halo chunking.)"""
     core_shape = tuple(min(d, c) for d, c in zip(shape, chunk_shape))
     align = _tile_alignments(len(shape))
     ext_shape = tuple(
@@ -70,44 +72,46 @@ def iter_uniform_windows(shape, chunk_shape, halo):
     every extended window is exactly ``ext_shape`` — so one XLA program
     covers every chunk (the round-1 ragged iterator recompiled per edge
     shape). Final windows along each axis shift inward, overlapping the
-    previous core; overlap writes are value-identical because both
-    windows see >= halo context (or the true volume edge), so the same
-    stencil math runs on the same data.
+    previous core.
 
-    Yields (core, ext, offset): ``core``/``ext`` are source-volume slice
-    tuples; ``offset`` is the core's start within the extended window
-    (for a static-size dynamic_slice on device).
+    Overlap regions are NOT value-identical across windows: the Frangi
+    gamma / Frobenius thresholds are window-global statistics, so the
+    same voxel computed in two windows can differ slightly.  To keep
+    results deterministic and independent of write order, each window
+    OWNS a disjoint sub-box of its core (the part no earlier window
+    covers), and callers write only the owned region.
+
+    Yields (owned, ext, offset, local): ``owned``/``ext`` are
+    source-volume slice tuples (owned boxes tile the volume disjointly);
+    ``offset`` is the core's start within the extended window (for a
+    static-size dynamic_slice on device); ``local`` is the owned box
+    relative to the core (to crop the pulled core on host).
     """
     if halo is None or len(halo) != len(shape):
         halo = (0,) * len(shape)
     core_shape, ext_shape = uniform_window_shapes(shape, chunk_shape, halo)
     axis_starts = []
+    axis_owned = []
     for d, c in zip(shape, core_shape):
         starts = list(range(0, d - c + 1, c))
         if starts[-1] != d - c:
             starts.append(d - c)
+        o_starts = [s if k == 0 else max(s, starts[k - 1] + c)
+                    for k, s in enumerate(starts)]
+        o_ends = o_starts[1:] + [d]
+        owned = list(zip(o_starts, o_ends))
         axis_starts.append(starts)
-    for starts in itertools.product(*axis_starts):
+        axis_owned.append(owned)
+    for item in itertools.product(*(zip(s, o) for s, o in
+                                    zip(axis_starts, axis_owned))):
+        starts = tuple(s for s, _ in item)
+        owned_iv = tuple(o for _, o in item)
         ext_start = tuple(
             int(np.clip(s - h, 0, d - e))
             for s, h, d, e in zip(starts, halo, shape, ext_shape))
-        core = tuple(slice(s, s + c) for s, c in zip(starts, core_shape))
+        owned = tuple(slice(lo, hi) for lo, hi in owned_iv)
         ext = tuple(slice(es, es + e) for es, e in zip(ext_start, ext_shape))
         offset = tuple(s - es for s, es in zip(starts, ext_start))
-        yield core, ext, offset
-
-
-def iter_chunks(shape, chunk_shape, halo):
-    if halo is None or len(halo) != len(shape):
-        halo = (0,) * len(shape)
-    ranges = [range(0, dim, step) for dim, step in zip(shape, chunk_shape)]
-    for starts in itertools.product(*ranges):
-        ends = [min(s + step, dim) for s, step, dim in zip(starts, chunk_shape, shape)]
-        core = tuple(slice(s, e) for s, e in zip(starts, ends))
-        ext_starts = [max(0, s - h) for s, h in zip(starts, halo)]
-        ext_ends = [min(dim, e + h) for e, h, dim in zip(ends, halo, shape)]
-        ext = tuple(slice(s, e) for s, e in zip(ext_starts, ext_ends))
-        core_in_ext = tuple(
-            slice(s - es, e - es) for s, e, es in zip(starts, ends, ext_starts)
-        )
-        yield core, ext, core_in_ext
+        local = tuple(slice(lo - s, hi - s)
+                      for (lo, hi), s in zip(owned_iv, starts))
+        yield owned, ext, offset, local

@@ -32,7 +32,12 @@ def hull_halfspaces_2d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
     def half(seq):
         out = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= _EPS:
+            # scalar 2D cross (np.cross on 2-vectors is removed in new numpy)
+            while len(out) >= 2:
+                e0 = out[-1] - out[-2]
+                e1 = p - out[-2]
+                if e0[0] * e1[1] - e0[1] * e1[0] > _EPS:
+                    break
                 out.pop()
             out.append(p)
         return out

@@ -180,3 +180,50 @@ def test_make_hybrid_mesh_fallback():
     flat = make_mesh(t_axis=2)
     assert m.axis_names == ("t", "z")
     assert m.devices.size == flat.devices.size
+
+
+def test_multi_file_batch_single_timepoint_files(tmp_path):
+    """BASELINE config #5 shape: a folder of single-timepoint ZYX files
+    batched across the mesh 't' axis (regression: the canonical artifact
+    is T-first even for no_t files, so the batched Filter must index
+    [t], not stack the 4D memmap)."""
+    from nellie_tpu.io import ome as ome_mod
+    from nellie_tpu.io import tiff as tifffile
+    from nellie_tpu.io.verifier import FileInfo
+    from nellie_tpu.pipeline.batch import run_files
+    from nellie_tpu.pipeline.run import run
+
+    def one_file(d, seed):
+        shape = (12, 48, 48)
+        rng = np.random.default_rng(seed)
+        z, y, x = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+        tube = 900.0 * np.exp(
+            -(((z - 6) ** 2) * 0.25 + (y - 24 + 6 * np.sin(x / 9.0)) ** 2 / 2)
+            / (2 * 2.2**2))
+        data = np.clip(tube + rng.normal(100, 5, shape), 0, None).astype(np.uint16)
+        desc = ome_mod.build_ome_xml(
+            "ZYX", shape, "uint16", dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5})
+        path = d / "cells.ome.tif"
+        tifffile.imwrite(path, data, description=desc)
+        fi = FileInfo(str(path))
+        fi.find_metadata()
+        fi.load_metadata()
+        return fi
+
+    seq_dir, bat_dir = tmp_path / "seq", tmp_path / "bat"
+    seq_infos, bat_fis = [], []
+    for k in range(2):
+        s, b = seq_dir / f"f{k}", bat_dir / f"f{k}"
+        s.mkdir(parents=True)
+        b.mkdir(parents=True)
+        seq_infos.append(run(one_file(s, k)))
+        bat_fis.append(one_file(b, k))
+
+    bat_infos = run_files(bat_fis, mesh=make_mesh(8, t_axis=2))
+    for s_im, b_im in zip(seq_infos, bat_infos):
+        a = np.asarray(s_im.get_memmap(s_im.pipeline_paths["im_preprocessed"]))
+        b = np.asarray(b_im.get_memmap(b_im.pipeline_paths["im_preprocessed"]))
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
+        a = np.asarray(s_im.get_memmap(s_im.pipeline_paths["im_instance_label"]))
+        b = np.asarray(b_im.get_memmap(b_im.pipeline_paths["im_instance_label"]))
+        np.testing.assert_array_equal(a, b)
