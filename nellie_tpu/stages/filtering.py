@@ -117,6 +117,7 @@ class Filter:
         max_chunk_voxels: int = int(1e6),
         max_threshold_samples: int = int(1e6),
         mesh=None,
+        chunk_transfer_dtype=None,
     ):
         self.im_info = im_info
         self.device = device
@@ -156,6 +157,10 @@ class Filter:
         self.low_memory = low_memory
         self.max_chunk_voxels = int(max_chunk_voxels)
         self.max_threshold_samples = int(max_threshold_samples)
+        # optional narrower device->host dtype for the chunked path
+        # (e.g. "float16" halves the pull bytes on bandwidth-limited
+        # links at ~1e-3 relative cost; the disk artifact stays float32)
+        self.chunk_transfer_dtype = chunk_transfer_dtype
         self.halo = None
 
     # -- setup ---------------------------------------------------------------
@@ -286,11 +291,15 @@ class Filter:
                     chunk = jax.device_put(np.ascontiguousarray(frame_cpu[ext]), dev)
                     v, m = frangi_k.vesselness_frame(chunk, self._params, apply_mask=mask)
                     v_core = _crop_core(v, jnp.asarray(offset, jnp.int32), core_shape)
+                    if self.chunk_transfer_dtype is not None:
+                        v_core = v_core.astype(self.chunk_transfer_dtype)
                     if pending is not None:
-                        vessel_out[pending[0]] = np.asarray(pending[1])[pending[2]]
+                        vessel_out[pending[0]] = np.asarray(
+                            pending[1], np.float32)[pending[2]]
                     pending = (owned, v_core, local)
                 if pending is not None:
-                    vessel_out[pending[0]] = np.asarray(pending[1])[pending[2]]
+                    vessel_out[pending[0]] = np.asarray(
+                        pending[1], np.float32)[pending[2]]
                 # stay on host: finalize/remove_edges run in numpy, so the
                 # assembled frame never re-crosses the host<->device link
                 if self.remove_edges:

@@ -213,3 +213,37 @@ def test_remove_edges_zeroes_bbox_margins():
     assert (out[:, 10:25, :] == 0).all()
     assert (out[:, 35:50, :] == 0).all()
     assert (out[:, 27:33, 5:25] == 1.0).all()
+
+
+def test_chunked_f16_transfer_close_to_f32(tmp_path):
+    """chunk_transfer_dtype='float16' halves the device->host bytes of
+    the chunked path; results must stay within half-precision tolerance
+    of the default float32 transfers."""
+    from types import SimpleNamespace
+
+    from nellie_tpu.stages.filtering import Filter
+
+    shape = (24, 64, 64)
+    rng = np.random.default_rng(3)
+    z, y, x = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+    tube = 900.0 * np.exp(
+        -(((z - 12) ** 2) * 0.25 + (y - 32 + 6 * np.sin(x / 9.0)) ** 2 / 2)
+        / (2 * 2.2**2))
+    frame = np.clip(tube + rng.normal(100, 5, shape), 0, None).astype(np.uint16)
+    im_info = SimpleNamespace(no_z=False, no_t=True, axes="ZYX", shape=shape,
+                              dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5, "T": None})
+
+    def run_one(dtype):
+        f = Filter(im_info, low_memory=True, max_chunk_voxels=30_000,
+                   chunk_transfer_dtype=dtype)
+        f._get_t()
+        f.shape = shape
+        f._set_default_sigmas()
+        f._active_device = "cpu"
+        return f._run_frame_chunked(frame)
+
+    full = run_one(None)
+    half = run_one("float16")
+    assert full.dtype == np.float32 and half.dtype == np.float32
+    scale = max(float(np.abs(full).max()), 1e-6)
+    np.testing.assert_allclose(half / scale, full / scale, atol=2e-3)
