@@ -230,6 +230,10 @@ def branch_geometry(skel: np.ndarray, spacing) -> Tuple[np.ndarray, np.ndarray]:
     skel = np.asarray(skel)
     max_label = int(skel.max()) if skel.size else 0
     nb = _bucket(max_label + 1, 8)
+    # uint16 upload when labels fit (halves the volume's link bytes);
+    # the kernel casts back to int32 on device
+    host_dtype = np.uint16 if 0 <= max_label < (1 << 16) else np.int32
     lengths, degree = _branch_geometry_kernel(
-        jnp.asarray(skel.astype(np.int32)), tuple(float(s) for s in spacing), nb)
+        jnp.asarray(skel.astype(host_dtype)).astype(jnp.int32),
+        tuple(float(s) for s in spacing), nb)
     return np.asarray(lengths)[: max_label + 1], np.asarray(degree)
