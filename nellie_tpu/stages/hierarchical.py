@@ -220,6 +220,20 @@ def _box_membership_kernel(lims_lo, lims_hi, coords):
     return m
 
 
+@partial(jax.jit, static_argnames=())
+def _box_membership_packed_kernel(lims_lo, lims_hi, coords):
+    """Bit-packed (M//8, C) uint8 membership mask — the dense bool mask
+    is the node level's largest device->host transfer (hundreds of MB
+    per frame at scale); packing on device cuts it 8x.  Row r's bit is
+    ``packed[r // 8] >> (r % 8) & 1`` (numpy ``unpackbits`` little
+    order)."""
+    m = _box_membership_kernel(lims_lo, lims_hi, coords)
+    mb, c = m.shape  # mb is bucketed to a multiple of 128
+    bits = m.reshape(mb // 8, 8, c).astype(jnp.uint8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits * weights[None, :, None], axis=1).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # per-frame level tables
 # ---------------------------------------------------------------------------
@@ -456,7 +470,9 @@ class _NodeLevel:
             end = min(start + chunk, c_total)
             cc = np.full((chunk, d), -1, np.int32)  # out of every box
             cc[: end - start] = vox_coords[start:end]
-            mask = np.asarray(_box_membership_kernel(lo_d, hi_d, jnp.asarray(cc)))
+            packed = np.asarray(
+                _box_membership_packed_kernel(lo_d, hi_d, jnp.asarray(cc)))
+            mask = np.unpackbits(packed, axis=0, bitorder="little")
             r, c = np.nonzero(mask)
             pair_node.append(r.astype(np.int32))
             pair_vox.append((c + start).astype(np.int32))
