@@ -221,17 +221,21 @@ def _box_membership_kernel(lims_lo, lims_hi, coords):
 
 
 @partial(jax.jit, static_argnames=())
-def _box_membership_packed_kernel(lims_lo, lims_hi, coords):
-    """Bit-packed (M//8, C) uint8 membership mask — the dense bool mask
-    is the node level's largest device->host transfer (hundreds of MB
-    per frame at scale); packing on device cuts it 8x.  Row r's bit is
-    ``packed[r // 8] >> (r % 8) & 1`` (numpy ``unpackbits`` little
-    order)."""
-    m = _box_membership_kernel(lims_lo, lims_hi, coords)
-    mb, c = m.shape  # mb is bucketed to a multiple of 128
-    bits = m.reshape(mb // 8, 8, c).astype(jnp.uint8)
-    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
-    return jnp.sum(bits * weights[None, :, None], axis=1).astype(jnp.uint8)
+def _membership_count_kernel(lims_lo, lims_hi, coords):
+    """Pair count of the (M, C) box-membership mask (a scalar pull that
+    sizes the sparse extraction below)."""
+    return jnp.sum(_box_membership_kernel(lims_lo, lims_hi, coords))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _membership_nonzero_kernel(lims_lo, lims_hi, coords, cap: int):
+    """(node, voxel) index pairs of the membership mask, row-major (same
+    order as np.nonzero), padded to ``cap`` with -1.  Only the sparse
+    pairs cross the link — the dense mask (the node level's largest
+    transfer, and a large host-side nonzero) never leaves the device."""
+    mask = _box_membership_kernel(lims_lo, lims_hi, coords)
+    r, c = jnp.nonzero(mask, size=cap, fill_value=-1)
+    return r.astype(jnp.int32), c.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +458,9 @@ class _NodeLevel:
         if m == 0 or c_total == 0:
             return np.zeros(0, np.int32), np.zeros(0, np.int32)
         max_elems = h.max_node_mask_elems // (4 if h.low_memory else 1)
-        chunk = int(max(1, min(h.node_chunk_size or 10000, max_elems // max(m, 1))))
+        # pairs cross the link sparsely now, so the chunk default favors
+        # few dispatches; max_node_mask_elems still bounds device memory
+        chunk = int(max(1, min(h.node_chunk_size or 65536, max_elems // max(m, 1))))
         chunk = _bucket(min(chunk, c_total), 128)
         mb = _bucket(m, 128)
         d = lo.shape[1]
@@ -470,12 +476,17 @@ class _NodeLevel:
             end = min(start + chunk, c_total)
             cc = np.full((chunk, d), -1, np.int32)  # out of every box
             cc[: end - start] = vox_coords[start:end]
-            packed = np.asarray(
-                _box_membership_packed_kernel(lo_d, hi_d, jnp.asarray(cc)))
-            mask = np.unpackbits(packed, axis=0, bitorder="little")
-            r, c = np.nonzero(mask)
+            cc_d = jnp.asarray(cc)
+            cnt = int(_membership_count_kernel(lo_d, hi_d, cc_d))
+            if cnt == 0:
+                continue
+            r, c = (np.asarray(a) for a in _membership_nonzero_kernel(
+                lo_d, hi_d, cc_d, _bucket(cnt, 128)))
+            r, c = r[:cnt], c[:cnt]
             pair_node.append(r.astype(np.int32))
             pair_vox.append((c + start).astype(np.int32))
+        if not pair_node:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
         return np.concatenate(pair_node), np.concatenate(pair_vox)
 
     def columns(self) -> dict:
