@@ -237,3 +237,45 @@ def branch_geometry(skel: np.ndarray, spacing) -> Tuple[np.ndarray, np.ndarray]:
         jnp.asarray(skel.astype(host_dtype)).astype(jnp.int32),
         tuple(float(s) for s in spacing), nb)
     return np.asarray(lengths)[: max_label + 1], np.asarray(degree)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def _segment_nanstats_gather_kernel(values, idx, seg_ids, num_segments: int):
+    """Like ``_segment_nanstats_kernel`` but over ``values[:, idx]``
+    gathered ON DEVICE — the caller uploads the compact (S, C) value
+    table + (N,) indices instead of the (S, N) pre-gathered matrix
+    (N >> C for node membership pairs). ``idx`` rows < 0 are padding."""
+    ok = idx >= 0
+    gathered = jnp.where(ok[None, :], values[:, jnp.maximum(idx, 0)], jnp.nan)
+    sid = jnp.where(ok, seg_ids, -1)
+    return _segment_nanstats_kernel(gathered, sid, num_segments)
+
+
+def segment_nanstats_gathered(values: np.ndarray, idx: np.ndarray,
+                              seg_ids: np.ndarray, num_segments: int):
+    """Per-segment nan statistics of ``values[:, idx]`` with the gather on
+    device.  Same output contract as :func:`segment_nanstats`; small
+    tables fall back to the host path (gather is cheap there)."""
+    values = np.atleast_2d(np.asarray(values, np.float32))
+    idx = np.asarray(idx, np.int64)
+    seg_ids = np.asarray(seg_ids, np.int32)
+    s, c = values.shape
+    n = len(idx)
+    if num_segments == 0:
+        return {k: np.zeros((s, 0), np.float32) for k in STAT_KEYS}
+    if n == 0:
+        return {k: np.full((s, num_segments), np.nan, np.float32) for k in STAT_KEYS}
+    if n < HOST_CUTOVER_N:
+        return group_stats_np(values[:, idx], seg_ids, num_segments)
+    cb = _bucket(max(c, 1), 128)
+    nb = _bucket(n, 128)
+    gb = _bucket(num_segments, 8)
+    v = np.full((s, cb), np.nan, np.float32)
+    v[:, :c] = values
+    ix = np.full((nb,), -1, np.int64)
+    ix[:n] = idx
+    ids = np.full((nb,), -1, np.int32)
+    ids[:n] = seg_ids
+    out = np.asarray(_segment_nanstats_gather_kernel(
+        jnp.asarray(v), jnp.asarray(ix, jnp.int32), jnp.asarray(ids), gb))
+    return {k: out[i][:, :num_segments] for i, k in enumerate(STAT_KEYS)}

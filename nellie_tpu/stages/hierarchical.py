@@ -48,6 +48,7 @@ from nellie_tpu.kernels.segstats import (
     _bucket,
     branch_geometry,
     segment_nanstats,
+    segment_nanstats_gathered,
 )
 from nellie_tpu.stages.flow_interpolation import FlowInterpolator
 from nellie_tpu.utils import adaptive_run
@@ -432,7 +433,9 @@ class _NodeLevel:
                 self.z = means[2] * spacing[0]
                 self.y = means[3] * spacing[1]
                 self.x = means[4] * spacing[2]
-            vox_agg = segment_nanstats(vox.stats[:, pair_vox], pair_node, m)
+            # gather on device: uploads the compact (S, C) stats table +
+            # pair indices instead of the (S, pairs) pre-gathered matrix
+            vox_agg = segment_nanstats_gathered(vox.stats, pair_vox, pair_node, m)
         else:
             nanm = np.full(m, np.nan)
             self.convergence = nanm.copy()

@@ -171,3 +171,31 @@ def test_convex_image_count_matches_scipy_delaunay(rng):
             want = int((hull.find_simplex(grid.astype(float)) >= 0).sum())
             got = convex_image_count(pts)
             assert got == want, (ndim, trial, got, want)
+
+
+def test_segment_nanstats_gathered_parity(rng):
+    """Device-side gather variant == pre-gathered host/device path."""
+    from nellie_tpu.kernels.segstats import (
+        HOST_CUTOVER_N,
+        segment_nanstats,
+        segment_nanstats_gathered,
+    )
+
+    c, groups = 700, 9
+    n = HOST_CUTOVER_N + 333  # force the device kernel
+    values = rng.normal(3, 2, (4, c)).astype(np.float32)
+    values[:, rng.random(c) < 0.1] = np.nan
+    idx = rng.integers(0, c, n)
+    seg = rng.integers(-1, groups, n).astype(np.int32)
+    a = segment_nanstats_gathered(values, idx, seg, groups)
+    b = segment_nanstats(values[:, idx], seg, groups)
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], rtol=2e-3, atol=1e-4,
+                                   equal_nan=True, err_msg=key)
+
+    # small-table fallback path
+    a = segment_nanstats_gathered(values, idx[:500], seg[:500], groups)
+    b = segment_nanstats(values[:, idx[:500]], seg[:500], groups)
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], rtol=1e-6,
+                                   equal_nan=True, err_msg=key)
