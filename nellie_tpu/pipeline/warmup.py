@@ -278,11 +278,22 @@ class PipelineWarmer:
             Hierarchy(im_info, skip_nodes=self.skip_nodes,
                       device=self.device).run()
 
-    def finish(self):
-        """Mark shadow data for deletion (now, or when the last
-        still-running warm thread exits)."""
+    def finish(self, join_timeout: float = 30.0):
+        """Join stragglers briefly, then delete shadow data (now, or when
+        the last still-running warm thread exits).  The bounded join
+        avoids daemon threads being killed mid-device-call at interpreter
+        exit (the runtime aborts noisily); a pathological compile-server
+        stall still only delays shutdown by ``join_timeout``."""
         if self.root is None:
             return
+        deadline = None
+        for t in self._threads:
+            if join_timeout:
+                import time as _time
+
+                if deadline is None:
+                    deadline = _time.monotonic() + join_timeout
+                t.join(timeout=max(0.0, deadline - _time.monotonic()))
         with self._lock:
             if self._pending == 0:
                 shutil.rmtree(self.root, ignore_errors=True)

@@ -359,10 +359,36 @@ class Filter:
             for i, t in enumerate(pending[0]):
                 self._write_frame(t, pending[1][i])
 
+    def _warm_stage_programs(self):
+        """Compile finalize/remove-edges concurrently with the first
+        frame's vesselness compile (they are separate XLA programs that
+        the frame loop would otherwise compile serially — finalize alone
+        measured ~19 s on the remote compile server)."""
+        import threading
+
+        # canonical artifacts are always T-first (even when no_t: T == 1)
+        frame_shape = self.shape[1:]
+
+        def work():
+            try:
+                z = jnp.zeros(frame_shape, jnp.float32)
+                frangi_k.finalize_frame(z, self.max_threshold_samples)
+                if self.remove_edges:
+                    frangi_k.remove_edges_frame(z)
+            except Exception:  # noqa: BLE001 — warming is best-effort
+                pass
+
+        self._warm_thread = threading.Thread(
+            target=work, name="nellie-filter-warm", daemon=True)
+        self._warm_thread.start()
+
     def _run_filter(self, mask=True):
         tb = self._mesh_t_batch()
         if tb > 1 and self.num_t > 1:
             return self._run_filter_batched(tb, mask=mask)
+        if not self._active_low_memory and adaptive_run.normalize_device(
+                self._active_device) != "cpu":
+            self._warm_stage_programs()
         # double-buffered: frame t+1's compute is dispatched before frame
         # t's result is pulled to host/disk (async JAX dispatch overlaps them)
         pending = None
@@ -379,6 +405,11 @@ class Filter:
             pending = (t, frangi_frame)
         if pending is not None:
             self._write_frame(*pending)
+        warm = getattr(self, "_warm_thread", None)
+        if warm is not None:
+            # bounded join: a daemon thread killed mid-device-call at
+            # interpreter exit aborts the runtime noisily
+            warm.join(timeout=30.0)
 
     def run(self, mask=True):
         logger.info("Running Frangi filter.")
