@@ -129,7 +129,10 @@ def segment_nanstats(values: np.ndarray, seg_ids: np.ndarray,
         return {k: np.zeros((s, 0), np.float32) for k in STAT_KEYS}
     if n == 0:
         return {k: np.full((s, num_segments), np.nan, np.float32) for k in STAT_KEYS}
-    if n < HOST_CUTOVER_N:
+    # host path when the member table is small — or when there are only a
+    # handful of segments (e.g. whole-image aggregation): a few bincounts
+    # over N values beat a device dispatch + pull at any N
+    if n < HOST_CUTOVER_N or num_segments <= 8:
         return group_stats_np(values, seg_ids, num_segments)
     nb = _bucket(n, 128)
     gb = _bucket(num_segments, 8)
@@ -265,7 +268,7 @@ def segment_nanstats_gathered(values: np.ndarray, idx: np.ndarray,
         return {k: np.zeros((s, 0), np.float32) for k in STAT_KEYS}
     if n == 0:
         return {k: np.full((s, num_segments), np.nan, np.float32) for k in STAT_KEYS}
-    if n < HOST_CUTOVER_N:
+    if n < HOST_CUTOVER_N or num_segments <= 8:
         return group_stats_np(values[:, idx], seg_ids, num_segments)
     cb = _bucket(max(c, 1), 128)
     nb = _bucket(n, 128)

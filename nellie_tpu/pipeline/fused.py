@@ -1,0 +1,271 @@
+"""Device-resident fused segmentation: Filter -> Label -> Network -> Markers.
+
+The reference pipeline moves every intermediate through disk between
+stages (``/root/reference/nellie/run.py:56-115``): each stage memmaps its
+inputs back from the previous stage's artifact.  On a bandwidth-limited
+host<->device link that handoff dominates end-to-end time — round-2
+profiling measured 5-8x transfer/dispatch overhead over kernel time for
+Label/Network/Markers.
+
+Here stages 1-4 run as ONE per-frame device pipeline:
+
+* the raw frame is uploaded once (uint16 — half the float32 bytes)
+* vesselness, instance labels, skeleton and marker images stay in HBM
+  across stage boundaries — zero re-uploads
+* disk artifacts are still written (identical paths/dtypes, so artifact
+  existence resume and per-stage re-run keep working), but the pulls are
+  dispatched with the producing kernels and written to disk behind the
+  NEXT frame's compute (write-behind)
+* label images cross the link as uint16 when the label count fits
+  (:mod:`nellie_tpu.utils.transfer`)
+
+The per-stage kernels are the SAME jitted programs the standalone stage
+classes run (``stages/filtering.py``, ``labelling.py``, ``networking.py``,
+``mocap_marking.py``), so the artifacts are bit-identical to the classic
+per-stage path (tested in ``tests/test_fused.py``) and the compile warmer
+benefits both paths.
+
+With ``mesh=`` the single frame upload is placed with a
+``NamedSharding`` over the mesh's spatial axis and every downstream
+kernel (Frangi, CC, thinning, JFA, LoG/NMS) is GSPMD-partitioned — this
+is how ``run(..., mesh=)`` shards four of the seven stages (SURVEY §2.4).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nellie_tpu.kernels import frangi as frangi_k
+from nellie_tpu.stages.filtering import Filter
+from nellie_tpu.stages.labelling import (
+    Label,
+    _frangi_threshold_kernel,
+    _intensity_otsu_kernel,
+    _label_frame_kernel,
+)
+from nellie_tpu.stages.mocap_marking import Markers, markers_frame, markers_frame_distance
+from nellie_tpu.stages.networking import (
+    Network,
+    _add_missing_skeleton_kernel,
+    _branch_skel_labels_kernel,
+    _clean_skeleton_kernel,
+    _pixel_class_kernel,
+    _relabel_objects_kernel,
+)
+from nellie_tpu.kernels.skeleton import skeletonize_2d, skeletonize_3d
+from nellie_tpu.utils import transfer
+from nellie_tpu.utils.base_logger import logger
+
+
+class FusedSegmentation:
+    """Run stages 1-4 with device-resident handoff.
+
+    Constructs the four stage objects (their constructors own all
+    configuration parity with the reference), allocates their artifacts,
+    then drives one fused frame loop instead of four sequential stage
+    loops.
+    """
+
+    def __init__(
+        self,
+        im_info,
+        remove_edges: bool = False,
+        otsu_thresh_intensity: bool = False,
+        threshold=None,
+        device: str = "auto",
+        mesh=None,
+        viewer=None,
+    ):
+        self.im_info = im_info
+        self.device = device
+        self.mesh = mesh
+        self.viewer = viewer
+        self.filter = Filter(im_info, remove_edges=remove_edges, device=device,
+                             mesh=mesh)
+        self.label = Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
+                           threshold=threshold, device=device, mesh=mesh)
+        self.network = Network(im_info, device=device)
+        self.markers = Markers(im_info, device=device)
+        self.stage_times = {}
+
+    # -- setup -----------------------------------------------------------
+    def _setup(self):
+        f = self.filter
+        f._active_device = self.device
+        f._active_low_memory = False
+        f._get_t()
+        f._allocate_memory()
+        f._set_default_sigmas()
+
+        lb = self.label
+        lb._set_low_memory(False)
+        lb._get_t()
+        lb._allocate_memory()
+
+        nw = self.network
+        nw._get_t()
+        nw._allocate_memory()
+
+        mk = self.markers
+        mk._get_t()
+        mk._allocate_memory()
+        mk._set_default_sigmas()
+
+        self.num_t = f.num_t
+
+    def _placement(self, shape):
+        if self.mesh is not None:
+            from nellie_tpu.mesh.sharded import frame_sharding
+            return frame_sharding(self.mesh, shape)
+        return self.filter._frame_device()
+
+    # -- per-frame device programs ---------------------------------------
+    def _frame_filter(self, raw_dev):
+        """Filter: vesselness + finalize (``filtering.py:806-1000``)."""
+        f = self.filter
+        vessel, masks = frangi_k.vesselness_frame(raw_dev, f._params, apply_mask=True)
+        if self.im_info.no_z:
+            blob = frangi_k.log_blobness_2d(raw_dev, masks, f._params)
+            vessel = jnp.maximum(vessel, jnp.maximum(blob, 0.0))
+        if f.remove_edges:
+            vessel = frangi_k.remove_edges_frame(vessel)
+        return frangi_k.finalize_frame(vessel, f.max_threshold_samples)
+
+    def _frame_label(self, raw_dev, frangi_dev):
+        """Label: device-resident thresholds + instance segmentation.
+
+        Same math as ``Label._compute_frame_thresholds`` +
+        ``_label_frame_kernel`` (reference ``labelling.py:440-532``), but
+        the strided threshold sample is taken from the DEVICE frangi
+        array — the host-side memmap sample never happens.  The "no valid
+        values -> all-zero labels" host gate becomes a device select
+        (threshold = +inf when the sample is empty).
+        """
+        lb = self.label
+        step = lb._sample_step(int(np.prod(frangi_dev.shape)))
+        frangi_flat = frangi_dev.reshape(-1)
+        use_intensity = lb.otsu_thresh_intensity or lb.threshold is not None
+
+        orig_flat = None
+        intensity_thresh = jnp.float32(0.0)
+        if lb.otsu_thresh_intensity:
+            orig_flat = raw_dev.reshape(-1).astype(jnp.float32)
+            it, it_ok = _intensity_otsu_kernel(orig_flat[::step], lb.histogram_nbins, 1)
+            intensity_thresh = jnp.where(it_ok, it, jnp.float32(0.0))
+        elif lb.threshold is not None:
+            orig_flat = raw_dev.reshape(-1).astype(jnp.float32)
+            intensity_thresh = jnp.float32(lb.threshold)
+
+        gate = None if orig_flat is None else orig_flat[::step]
+        thr, ok = _frangi_threshold_kernel(
+            frangi_flat[::step], gate, intensity_thresh, lb.histogram_nbins, 1)
+        frangi_thresh = jnp.where(ok, thr, jnp.float32(jnp.inf))
+
+        return _label_frame_kernel(
+            frangi_dev,
+            raw_dev.astype(jnp.float32),
+            intensity_thresh,
+            frangi_thresh,
+            lb.min_area_pixels,
+            not self.im_info.no_z,
+            use_intensity,
+        )
+
+    def _frame_network(self, labels_dev, frangi_dev):
+        """Network: thinning -> clean -> fill-missing -> classify ->
+        branch CC -> object relabel (``networking.py:828-902``)."""
+        nw = self.network
+        mask = labels_dev > 0
+        skel_mask = skeletonize_2d(mask) if self.im_info.no_z else skeletonize_3d(mask)
+        skel = jnp.where(skel_mask, labels_dev, 0)
+        skel = _clean_skeleton_kernel(skel)
+        skel = _add_missing_skeleton_kernel(skel, labels_dev, frangi_dev)
+        skel = jnp.where(skel > 0, labels_dev, 0)
+        pixel_class = _pixel_class_kernel(skel)
+        branch_skel_labels = _branch_skel_labels_kernel(pixel_class)
+        branch_labels = _relabel_objects_kernel(branch_skel_labels, labels_dev, nw.scaling)
+        return (jnp.where(skel > 0, branch_skel_labels, 0), pixel_class, branch_labels)
+
+    def _frame_markers(self, raw_dev, labels_dev, frangi_dev):
+        """Markers: EDT distance/border + LoG peaks (``mocap_marking.py``)."""
+        mk = self.markers
+        mask = labels_dev > 0
+        if mk.use_im == "frangi":
+            return markers_frame(raw_dev, mask, frangi_dev, mk._params)
+        return markers_frame_distance(raw_dev, mask, mk._params)
+
+    # -- frame loop ------------------------------------------------------
+    def _dispatch_frame(self, t, placement):
+        raw_host = np.ascontiguousarray(self.filter.im_memmap[t])
+        raw_dev = jax.device_put(raw_host, placement)
+        times = {}
+
+        def staged(name, fn, *args):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            if self._fence:
+                jax.block_until_ready(out)
+                # the tunnelled backend's block_until_ready is not a
+                # reliable fence; force a scalar materialisation
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                np.asarray(jnp.max(leaf))
+            times[name] = time.perf_counter() - t0
+            return out
+
+        frangi_dev = staged("filter", self._frame_filter, raw_dev)
+        labels_dev = staged("label", self._frame_label, raw_dev, frangi_dev)
+        skel, pixel_class, branch_labels = staged(
+            "network", self._frame_network, labels_dev, frangi_dev)
+        marker, distance, border = staged(
+            "markers", self._frame_markers, raw_dev, labels_dev, frangi_dev)
+
+        # narrow device->host copies dispatched with this frame's batch
+        pulls = {
+            "frangi": frangi_dev,
+            "labels": transfer.prep_label_pull(labels_dev),
+            "skel": transfer.prep_label_pull(skel),
+            "pixel_class": pixel_class,
+            "branch": transfer.prep_label_pull(branch_labels),
+            "marker": marker,
+            "distance": distance,
+            "border": border,
+        }
+        return pulls, times
+
+    def _write_frame(self, t, pulls):
+        self.filter._write_frame(t, pulls["frangi"])
+        labels = transfer.finish_label_pull(pulls["labels"], np.int32)
+        self.label.instance_label_memmap[t, ...] = labels
+        self.label.instance_label_memmap.flush()
+        self.network._write_frame(
+            t, pulls["skel"], pulls["pixel_class"], pulls["branch"])
+        self.markers._write_frame(
+            t, pulls["marker"], pulls["distance"], pulls["border"])
+
+    def run(self, fence_stages: bool = False):
+        """Returns a per-stage device-time dict when ``fence_stages``
+        (diagnostic; fencing serialises the pipeline), else {}."""
+        self._fence = fence_stages
+        self._setup()
+        placement = self._placement(
+            self.filter.im_memmap.shape[1:])
+        stage_totals = {}
+        pending = None
+        for t in range(self.num_t):
+            if self.viewer is not None:
+                self.viewer.status = f"Segmenting (fused). Frame: {t + 1} of {self.num_t}."
+            logger.info("Fused segmentation: frame %d/%d", t + 1, self.num_t)
+            pulls, times = self._dispatch_frame(t, placement)
+            for k, v in times.items():
+                stage_totals[k] = stage_totals.get(k, 0.0) + v
+            if pending is not None:
+                self._write_frame(*pending)
+            pending = (t, pulls)
+        if pending is not None:
+            self._write_frame(*pending)
+        self.stage_times = stage_totals
+        return stage_totals

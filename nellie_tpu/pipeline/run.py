@@ -33,18 +33,26 @@ def run(
     return_timings=False,
     mesh=None,
     warm_start=True,
+    fused=True,
 ):
     """Run the full pipeline on a prepared :class:`FileInfo`.
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``"z"`` axis — the
-    per-frame Filter and Label kernels are then GSPMD-sharded over its
-    spatial axis (multi-chip; see ``nellie_tpu.mesh``).  Results match
-    single-device execution to float-reassociation tolerance (~1e-6).
+    per-frame segmentation kernels (Filter/Label/Network/Markers) are
+    then GSPMD-sharded over its spatial axis (multi-chip; see
+    ``nellie_tpu.mesh``).  Results match single-device execution to
+    float-reassociation tolerance (~1e-6).
 
     ``warm_start``: compile the later stages' XLA programs in background
     threads (on shape-true shadow data) while Filter owns the device, so
     a cold run pays ~max(stage compile) instead of the sum — see
     :mod:`nellie_tpu.pipeline.warmup`.
+
+    ``fused``: run stages 1-4 with device-resident handoff (one frame
+    upload, intermediates stay in HBM, artifacts written behind compute
+    — see :mod:`nellie_tpu.pipeline.fused`).  Artifacts are identical to
+    the per-stage path; set False to force the classic stage-by-stage
+    loop (always used for ``low_memory`` and mesh 't'-batch runs).
 
     Returns the :class:`ImInfo` (and per-stage timings dict if
     ``return_timings``).
@@ -73,14 +81,39 @@ def run(
         stage.run()
         timings[name] = time.perf_counter() - start
 
+    use_fused = bool(fused) and not low_memory and not (
+        mesh is not None and int(mesh.shape.get("t", 1)) > 1)
+
     try:
-        timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
-                               low_memory=low_memory, mesh=mesh))
-        timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
-                             threshold=threshold, device=device, low_memory=low_memory,
-                             mesh=mesh))
-        timed("network", Network(im_info, device=device))
-        timed("markers", Markers(im_info, device=device))
+        if use_fused:
+            from nellie_tpu.pipeline.fused import FusedSegmentation
+            from nellie_tpu.utils import adaptive_run
+
+            seg = FusedSegmentation(
+                im_info, remove_edges=remove_edges,
+                otsu_thresh_intensity=otsu_thresh_intensity,
+                threshold=threshold, device=device, mesh=mesh)
+            start = time.perf_counter()
+            try:
+                seg.run()
+                timings["seg_fused"] = time.perf_counter() - start
+            except Exception as exc:  # noqa: BLE001 — OOM -> classic ladder
+                if not adaptive_run.is_oom_error(exc):
+                    raise
+                from nellie_tpu.utils.base_logger import logger
+
+                logger.warning(
+                    "Fused segmentation hit OOM (%r); falling back to the "
+                    "per-stage adaptive ladder.", exc)
+                use_fused = False
+        if not use_fused:
+            timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
+                                   low_memory=low_memory, mesh=mesh))
+            timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
+                                 threshold=threshold, device=device, low_memory=low_memory,
+                                 mesh=mesh))
+            timed("network", Network(im_info, device=device))
+            timed("markers", Markers(im_info, device=device))
         timed("tracking", HuMomentTracking(im_info, device=device, low_memory=low_memory))
         timed("reassign", VoxelReassigner(im_info, device=device))
         timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
@@ -91,10 +124,14 @@ def run(
 
     timings["total"] = sum(timings.values())
     if timeit:
-        print(f"Nellie Pipeline: Filter step took {timings['filter']:.4f} seconds")
-        print(f"Nellie Pipeline: Label step took {timings['label']:.4f} seconds")
-        print(f"Nellie Pipeline: Network step took {timings['network']:.4f} seconds")
-        print(f"Nellie Pipeline: Markers step took {timings['markers']:.4f} seconds")
+        if "seg_fused" in timings:
+            print(f"Nellie Pipeline: Fused Filter+Label+Network+Markers took "
+                  f"{timings['seg_fused']:.4f} seconds")
+        else:
+            print(f"Nellie Pipeline: Filter step took {timings['filter']:.4f} seconds")
+            print(f"Nellie Pipeline: Label step took {timings['label']:.4f} seconds")
+            print(f"Nellie Pipeline: Network step took {timings['network']:.4f} seconds")
+            print(f"Nellie Pipeline: Markers step took {timings['markers']:.4f} seconds")
         print(f"Nellie Pipeline: HuMomentTracking step took {timings['tracking']:.4f} seconds")
         print(f"Nellie Pipeline: VoxelReassigner step took {timings['reassign']:.4f} seconds")
         print(f"Nellie Pipeline: Hierarchy step took {timings['hierarchy']:.4f} seconds")

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -221,22 +223,134 @@ def _box_membership_kernel(lims_lo, lims_hi, coords):
     return m
 
 
-@partial(jax.jit, static_argnames=())
-def _membership_count_kernel(lims_lo, lims_hi, coords):
-    """Pair count of the (M, C) box-membership mask (a scalar pull that
-    sizes the sparse extraction below)."""
-    return jnp.sum(_box_membership_kernel(lims_lo, lims_hi, coords))
+@jax.jit
+def _node_agg_scan_kernel(lims_lo, lims_hi, node_coords, coords_chunks,
+                          vec01_chunks, vec12_chunks, stats_chunks):
+    """All node-level aggregations for one frame in ONE device program.
+
+    Replaces the round-2 pipeline of [pair extraction on device ->
+    (node, voxel) pairs to host -> direction/dot math in numpy -> pair
+    tables back to device for segment stats]: a ``jnp.nonzero`` over the
+    ~50M-element membership mask alone measured ~550 ms/chunk on TPU,
+    and the pair lists crossed the link twice.  Here the membership mask
+    is consumed where it is produced — every statistic reduces over the
+    chunk axis in-register and only (stat, node)-sized results leave the
+    device.
+
+    Shapes: ``lims_lo/hi`` (M, d) int32 boxes (empty box = lo > hi);
+    ``node_coords`` (M, d) f32; ``coords_chunks`` (K, chunk, d) int32
+    voxel coords (pad -1: outside every box); ``vec01/vec12_chunks``
+    (K, chunk, d) f32 flow vectors (pad NaN); ``stats_chunks``
+    (K, S, chunk) f32 voxel statistics (pad NaN).
+
+    Semantics per reference ``hierarchical.py:1323-1393``: direction =
+    (voxel - node) / |voxel - node| (NaN at zero distance), convergence
+    = nanmean of vec01·direction, divergence = nanmean of vec12·
+    direction; plus nan-aware mean/std/min/max/sum of every voxel
+    statistic over each node's member voxels (population std, two-pass
+    centered like ``kernels.segstats``).
+
+    Returns (c01, s01, c12, s12, cm, scoords, cnt_s, sum_s, mn_s, mx_s,
+    ssq_s) — counts/sums per node (and per (S, node) for the stats).
+    """
+    nan = jnp.float32(jnp.nan)
+    M, d = lims_lo.shape
+    S = stats_chunks.shape[1]
+
+    def chunk_terms(cc, v01, v12):
+        mask = _box_membership_kernel(lims_lo, lims_hi, cc)
+        mag2 = jnp.zeros(mask.shape, jnp.float32)
+        rdot01 = jnp.zeros(mask.shape, jnp.float32)
+        rdot12 = jnp.zeros(mask.shape, jnp.float32)
+        for dim in range(d):
+            dv = cc[:, dim].astype(jnp.float32)[None, :] - node_coords[:, dim][:, None]
+            mag2 = mag2 + dv * dv
+            rdot01 = rdot01 + dv * v01[:, dim][None, :]
+            rdot12 = rdot12 + dv * v12[:, dim][None, :]
+        mag = jnp.sqrt(mag2)
+        ok = mag > 0
+        dot01 = jnp.where(ok, rdot01 / jnp.where(ok, mag, 1.0), nan)
+        dot12 = jnp.where(ok, rdot12 / jnp.where(ok, mag, 1.0), nan)
+        return mask, dot01, dot12
+
+    def nansum_count(mask, vals):
+        valid = mask & ~jnp.isnan(vals)
+        return (jnp.sum(valid, axis=-1).astype(jnp.float32),
+                jnp.sum(jnp.where(valid, vals, 0.0), axis=-1))
+
+    def pass1(carry, xs):
+        cc, v01, v12, st = xs
+        mask, dot01, dot12 = chunk_terms(cc, v01, v12)
+        c01, s01 = nansum_count(mask, dot01)
+        c12, s12 = nansum_count(mask, dot12)
+        cm = jnp.sum(mask, axis=1).astype(jnp.float32)
+        scoords = jnp.stack([
+            jnp.sum(jnp.where(mask, cc[:, dim].astype(jnp.float32)[None, :], 0.0), axis=1)
+            for dim in range(d)])
+        # count/sum per (node, stat) as MXU matmuls: (M, chunk)@(chunk, S)
+        maskf = mask.astype(jnp.float32)
+        validf = (~jnp.isnan(st)).astype(jnp.float32)  # (S, chunk)
+        st0 = jnp.nan_to_num(st, nan=0.0)
+        cnt_s = (maskf @ validf.T).T  # (S, M)
+        sum_s = (maskf @ (validf * st0).T).T
+        # min/max per stat: 2D (M, chunk) selects, unrolled over S
+        mn_rows, mx_rows = [], []
+        for s_i in range(S):
+            valid = mask & validf[s_i].astype(bool)[None, :]
+            row = st[s_i][None, :]
+            mn_rows.append(jnp.min(jnp.where(valid, row, jnp.inf), axis=1))
+            mx_rows.append(jnp.max(jnp.where(valid, row, -jnp.inf), axis=1))
+        mn_s = jnp.stack(mn_rows)
+        mx_s = jnp.stack(mx_rows)
+        (ac01, as01, ac12, as12, acm, asc, acnt, asum, amn, amx) = carry
+        return ((ac01 + c01, as01 + s01, ac12 + c12, as12 + s12, acm + cm,
+                 asc + scoords, acnt + cnt_s, asum + sum_s,
+                 jnp.minimum(amn, mn_s), jnp.maximum(amx, mx_s)), None)
+
+    zero_m = jnp.zeros((M,), jnp.float32)
+    zero_sm = jnp.zeros((S, M), jnp.float32)
+    init = (zero_m, zero_m, zero_m, zero_m, zero_m,
+            jnp.zeros((d, M), jnp.float32), zero_sm, zero_sm,
+            jnp.full((S, M), jnp.inf), jnp.full((S, M), -jnp.inf))
+    carry, _ = jax.lax.scan(
+        pass1, init, (coords_chunks, vec01_chunks, vec12_chunks, stats_chunks))
+    c01, s01, c12, s12, cm, scoords, cnt_s, sum_s, mn_s, mx_s = carry
+
+    mean_s = sum_s / jnp.maximum(cnt_s, 1.0)  # (S, M)
+
+    def pass2(acc, xs):
+        cc, st = xs
+        mask = _box_membership_kernel(lims_lo, lims_hi, cc)
+        rows = []
+        for s_i in range(S):
+            valid = mask & ~jnp.isnan(st[s_i])[None, :]
+            diff = st[s_i][None, :] - mean_s[s_i][:, None]  # (M, chunk)
+            rows.append(jnp.sum(jnp.where(valid, diff * diff, 0.0), axis=1))
+        return acc + jnp.stack(rows), None
+
+    ssq_s, _ = jax.lax.scan(pass2, zero_sm, (coords_chunks, stats_chunks))
+    # two stacked outputs -> two device->host pulls for the whole frame
+    node_sums = jnp.concatenate(
+        [c01[None], s01[None], c12[None], s12[None], cm[None], scoords], axis=0)
+    stat_sums = jnp.stack([cnt_s, sum_s, mn_s, mx_s, ssq_s])
+    return node_sums, stat_sums
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _membership_nonzero_kernel(lims_lo, lims_hi, coords, cap: int):
-    """(node, voxel) index pairs of the membership mask, row-major (same
-    order as np.nonzero), padded to ``cap`` with -1.  Only the sparse
-    pairs cross the link — the dense mask (the node level's largest
-    transfer, and a large host-side nonzero) never leaves the device."""
-    mask = _box_membership_kernel(lims_lo, lims_hi, coords)
-    r, c = jnp.nonzero(mask, size=cap, fill_value=-1)
-    return r.astype(jnp.int32), c.astype(jnp.int32)
+@jax.jit
+def _membership_mask_packed_kernel(lims_lo, lims_hi, coords_chunks):
+    """Bit-packed (M, chunk/8) membership masks for every chunk — the
+    adjacency pair lists are recovered on HOST (np.unpackbits + nonzero)
+    on a background thread, so neither the device-side nonzero (~550 ms
+    per 50M mask) nor the pull sits on the frame critical path."""
+    weights = (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8)))
+
+    def body(carry, cc):
+        mask = _box_membership_kernel(lims_lo, lims_hi, cc)
+        m8 = mask.reshape(mask.shape[0], -1, 8).astype(jnp.uint8)
+        return carry, jnp.sum(m8 * weights[None, None, :], axis=-1).astype(jnp.uint8)
+
+    _, packed = jax.lax.scan(body, 0, coords_chunks)
+    return packed  # (K, M, chunk // 8)
 
 
 # ---------------------------------------------------------------------------
@@ -328,14 +442,17 @@ class _VoxelLevel:
         if run_motility:
             coords_f = self.coords.astype(np.float32)
             vec01_px = vec12_px = None
-            if t > 0:
-                vec01_px = np.asarray(
-                    h.flow_interpolator_bw.interpolate_coord(coords_f, t), np.float32)
-                self.vec01 = vec01_px * spacing
-            if t < h.num_t - 1:
-                vec12_px = np.asarray(
-                    h.flow_interpolator_fw.interpolate_coord(coords_f, t), np.float32)
-                self.vec12 = vec12_px * spacing
+            # the interpolators cache per-t row selections on themselves —
+            # serialize against concurrently built frames
+            with h._interp_lock:
+                if t > 0:
+                    vec01_px = np.asarray(
+                        h.flow_interpolator_bw.interpolate_coord(coords_f, t), np.float32)
+                    self.vec01 = vec01_px * spacing
+                if t < h.num_t - 1:
+                    vec12_px = np.asarray(
+                        h.flow_interpolator_fw.interpolate_coord(coords_f, t), np.float32)
+                    self.vec12 = vec12_px * spacing
             if vec12_px is not None:
                 nb = _bucket(n, 128)
                 lb = _bucket(int(self.branch_labels.max()) + 1 if n else 1, 8)
@@ -380,7 +497,18 @@ class _VoxelLevel:
 
 class _NodeLevel:
     """Skeleton-voxel ("node") features: radius-box voxel membership,
-    flow divergence/convergence, thickness. Optional (skip_nodes)."""
+    flow divergence/convergence, thickness. Optional (skip_nodes).
+
+    All membership-weighted statistics reduce ON DEVICE in one program
+    (:func:`_node_agg_scan_kernel`) — only (stat, node) results are
+    pulled.  The (node, voxel) pair lists themselves are needed only for
+    the ``adjacency_maps`` artifact; they are recovered from a
+    bit-packed mask pull on the hierarchy's background worker, off the
+    frame critical path.  Tiny frames (mask < ~4M elements) use a dense
+    numpy path — it doubles as the cross-implementation oracle."""
+
+    # below this many mask elements a host dense mask beats a dispatch
+    HOST_CUTOVER_MASK = 1 << 22
 
     def __init__(self, h: "Hierarchy", t: int, vox: _VoxelLevel):
         self.t = t
@@ -400,42 +528,27 @@ class _NodeLevel:
             lo[:, dim] = np.clip((self.nodes[:, dim] - radius).astype(int), 0, shape[dim])
             hi[:, dim] = np.clip((self.nodes[:, dim] + radius).astype(int) + 1, 0, shape[dim])
 
-        # voxel<->node membership: (M, C) box tests on device, pair lists
-        # grouped on host (no per-pair Python loop)
-        pair_node, pair_vox = self._membership_pairs(h, lo, hi, vox.coords)
-        self.pair_node = pair_node
-        self.pair_vox = pair_vox
-
         spacing = np.asarray(h.spacing, np.float64)
         self.node_thickness = h._border_distance_cached(t, self.nodes) * 2.0
 
-        # per-pair dot products + member coords -> per-node means
-        if len(pair_node):
-            dvec = (vox.coords[pair_vox] - self.nodes[pair_node]).astype(np.float64)
-            mag = np.linalg.norm(dvec, axis=1, keepdims=True)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                direction = np.divide(dvec, mag, out=np.full_like(dvec, np.nan),
-                                      where=mag != 0)
-            dot01 = np.sum(vox.vec01[pair_vox] * direction, axis=1)
-            dot12 = np.sum(vox.vec12[pair_vox] * direction, axis=1)
-            pair_vals = np.concatenate(
-                [dot01[None], dot12[None], vox.coords[pair_vox].T.astype(np.float32)])
-            agg = segment_nanstats(pair_vals, pair_node, m)
-            means = agg["mean"]
-            self.convergence = means[0]
-            self.divergence = means[1]
+        c_total = len(vox.coords)
+        if m and c_total:
+            if m * c_total <= self.HOST_CUTOVER_MASK:
+                agg = self._host_aggregate(h, lo, hi, vox, m)
+            else:
+                agg = self._device_aggregate(h, lo, hi, vox, m)
+            conv, div, coord_means, vox_agg = agg
+            self.convergence = conv
+            self.divergence = div
             self.vergere = self.convergence + self.divergence
             if h.im_info.no_z:
                 self.z = np.full(m, np.nan)
-                self.y = means[2] * spacing[0]
-                self.x = means[3] * spacing[1]
+                self.y = coord_means[0] * spacing[0]
+                self.x = coord_means[1] * spacing[1]
             else:
-                self.z = means[2] * spacing[0]
-                self.y = means[3] * spacing[1]
-                self.x = means[4] * spacing[2]
-            # gather on device: uploads the compact (S, C) stats table +
-            # pair indices instead of the (S, pairs) pre-gathered matrix
-            vox_agg = segment_nanstats_gathered(vox.stats, pair_vox, pair_node, m)
+                self.z = coord_means[0] * spacing[0]
+                self.y = coord_means[1] * spacing[1]
+                self.x = coord_means[2] * spacing[2]
         else:
             nanm = np.full(m, np.nan)
             self.convergence = nanm.copy()
@@ -445,6 +558,7 @@ class _NodeLevel:
             self.y = nanm.copy()
             self.x = nanm.copy()
             vox_agg = {k: np.full((len(VOXEL_STATS), m), np.nan) for k in STAT_KEYS}
+            self._submit_pairs(h, np.zeros(0, np.int32), np.zeros(0, np.int32))
         self.aggregate_voxel_metrics = vox_agg
 
         self.stats = np.stack([
@@ -454,43 +568,135 @@ class _NodeLevel:
             np.asarray(self.node_thickness, np.float64),
         ]) if m else np.zeros((len(NODE_STATS), 0))
 
-    @staticmethod
-    def _membership_pairs(h, lo, hi, vox_coords):
-        m = len(lo)
-        c_total = len(vox_coords)
-        if m == 0 or c_total == 0:
-            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    # -- adjacency pair sink ------------------------------------------------
+    def _submit_pairs(self, h, pair_node, pair_vox):
+        """Record this frame's sorted v_n edge list in the hierarchy's
+        per-frame result dict (reassembled in frame order at the end)."""
+        sink = getattr(h, "_vn_results", None)
+        if sink is None:
+            return
+        order = np.lexsort((pair_node, pair_vox))
+        sink[self.t] = np.column_stack(
+            (pair_vox[order], pair_node[order])).astype(np.int64)
+
+    # -- host (oracle / tiny-frame) path ------------------------------------
+    def _host_aggregate(self, h, lo, hi, vox, m):
+        coords = vox.coords
+        mask = np.logical_and.reduce(
+            [(lo[:, None, d_] <= coords[None, :, d_])
+             & (coords[None, :, d_] <= hi[:, None, d_])
+             for d_ in range(lo.shape[1])])
+        pair_node, pair_vox = (a.astype(np.int32) for a in np.nonzero(mask))
+        self._submit_pairs(h, pair_node, pair_vox)
+
+        if not len(pair_node):
+            nanm = np.full(m, np.nan)
+            return (nanm.copy(), nanm.copy(),
+                    np.full((lo.shape[1], m), np.nan),
+                    {k: np.full((len(VOXEL_STATS), m), np.nan) for k in STAT_KEYS})
+        dvec = (coords[pair_vox] - self.nodes[pair_node]).astype(np.float64)
+        mag = np.linalg.norm(dvec, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            direction = np.divide(dvec, mag, out=np.full_like(dvec, np.nan),
+                                  where=mag != 0)
+        dot01 = np.sum(vox.vec01[pair_vox] * direction, axis=1)
+        dot12 = np.sum(vox.vec12[pair_vox] * direction, axis=1)
+        pair_vals = np.concatenate(
+            [dot01[None], dot12[None], coords[pair_vox].T.astype(np.float32)])
+        agg = segment_nanstats(pair_vals, pair_node, m)
+        means = agg["mean"]
+        vox_agg = segment_nanstats_gathered(vox.stats, pair_vox, pair_node, m)
+        return means[0], means[1], means[2:], vox_agg
+
+    # -- device path ---------------------------------------------------------
+    def _device_aggregate(self, h, lo, hi, vox, m):
+        d = lo.shape[1]
+        c_total = len(vox.coords)
+        s = len(VOXEL_STATS)
         max_elems = h.max_node_mask_elems // (4 if h.low_memory else 1)
-        # pairs cross the link sparsely now, so the chunk default favors
-        # few dispatches; max_node_mask_elems still bounds device memory
         chunk = int(max(1, min(h.node_chunk_size or 65536, max_elems // max(m, 1))))
         chunk = _bucket(min(chunk, c_total), 128)
         mb = _bucket(m, 128)
-        d = lo.shape[1]
+        n_chunks = (c_total + chunk - 1) // chunk
+
         # pad nodes with empty boxes (lo > hi never matches)
         lo_p = np.ones((mb, d), np.int32)
         lo_p[:m] = lo
         hi_p = np.zeros((mb, d), np.int32)
         hi_p[:m] = hi
+        nc_p = np.zeros((mb, d), np.float32)
+        nc_p[:m] = self.nodes
+
+        def chunked(arr, fill, dtype):
+            out = np.full((n_chunks * chunk,) + arr.shape[1:], fill, dtype)
+            out[:c_total] = arr
+            return out.reshape((n_chunks, chunk) + arr.shape[1:])
+
+        coords_chunks = chunked(vox.coords.astype(np.int32), -1, np.int32)
+        vec01_chunks = chunked(vox.vec01, np.nan, np.float32)
+        vec12_chunks = chunked(vox.vec12, np.nan, np.float32)
+        stats_pad = np.full((s, n_chunks * chunk), np.nan, np.float32)
+        stats_pad[:, :c_total] = vox.stats
+        stats_chunks = np.moveaxis(
+            stats_pad.reshape(s, n_chunks, chunk), 1, 0)
+
         lo_d = jnp.asarray(lo_p)
         hi_d = jnp.asarray(hi_p)
-        pair_node, pair_vox = [], []
-        for start in range(0, c_total, chunk):
-            end = min(start + chunk, c_total)
-            cc = np.full((chunk, d), -1, np.int32)  # out of every box
-            cc[: end - start] = vox_coords[start:end]
-            cc_d = jnp.asarray(cc)
-            cnt = int(_membership_count_kernel(lo_d, hi_d, cc_d))
-            if cnt == 0:
-                continue
-            r, c = (np.asarray(a) for a in _membership_nonzero_kernel(
-                lo_d, hi_d, cc_d, _bucket(cnt, 128)))
-            r, c = r[:cnt], c[:cnt]
-            pair_node.append(r.astype(np.int32))
-            pair_vox.append((c + start).astype(np.int32))
-        if not pair_node:
-            return np.zeros(0, np.int32), np.zeros(0, np.int32)
-        return np.concatenate(pair_node), np.concatenate(pair_vox)
+        chunks_d = jnp.asarray(coords_chunks)
+        node_sums, stat_sums = _node_agg_scan_kernel(
+            lo_d, hi_d, jnp.asarray(nc_p), chunks_d,
+            jnp.asarray(vec01_chunks), jnp.asarray(vec12_chunks),
+            jnp.asarray(stats_chunks))
+
+        # adjacency pairs: bit-packed mask, extracted on the background
+        # worker (device pull + unpackbits + nonzero off the hot path)
+        if getattr(h, "_vn_results", None) is not None:
+            packed = _membership_mask_packed_kernel(lo_d, hi_d, chunks_d)
+            self._submit_packed_pairs(h, packed, m, chunk, c_total)
+
+        node_sums = np.asarray(node_sums, np.float64)[:, :m]
+        stat_sums = np.asarray(stat_sums, np.float64)[:, :, :m]
+        c01, s01, c12, s12, cm = node_sums[:5]
+        scoords = node_sums[5:]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            conv = np.where(c01 > 0, s01 / np.maximum(c01, 1.0), np.nan)
+            div = np.where(c12 > 0, s12 / np.maximum(c12, 1.0), np.nan)
+            coord_means = np.where(cm[None] > 0, scoords / np.maximum(cm[None], 1.0),
+                                   np.nan)
+            cnt_s, sum_s, mn_s, mx_s, ssq_s = stat_sums
+            empty = cnt_s == 0
+            nanw = np.full_like(cnt_s, np.nan)
+            vox_agg = {
+                "mean": np.where(empty, nanw, sum_s / np.maximum(cnt_s, 1.0)),
+                "std_dev": np.where(empty, nanw,
+                                    np.sqrt(np.maximum(ssq_s / np.maximum(cnt_s, 1.0), 0.0))),
+                "min": np.where(empty, nanw, mn_s),
+                "max": np.where(empty, nanw, mx_s),
+                "sum": np.where(empty, nanw, sum_s),
+            }
+        return conv, div, coord_means, vox_agg
+
+    def _submit_packed_pairs(self, h, packed, m, chunk, c_total):
+        pool = getattr(h, "_pool", None)
+
+        def job():
+            p = np.asarray(packed)  # (K, mb, chunk // 8) — pull happens here
+            bits = np.unpackbits(p, axis=-1)  # (K, mb, chunk)
+            pn, pv = [], []
+            for k in range(bits.shape[0]):
+                r, c = np.nonzero(bits[k, :m, :])
+                g = k * chunk + c
+                keep = g < c_total
+                pn.append(r[keep].astype(np.int32))
+                pv.append(g[keep].astype(np.int32))
+            pair_node = np.concatenate(pn) if pn else np.zeros(0, np.int32)
+            pair_vox = np.concatenate(pv) if pv else np.zeros(0, np.int32)
+            self._submit_pairs(h, pair_node, pair_vox)
+
+        if pool is not None:
+            pool.submit(job)
+        else:
+            job()
 
     def columns(self) -> dict:
         cols = _agg_columns(VOXEL_STATS, self.aggregate_voxel_metrics)
@@ -543,15 +749,19 @@ class _BranchLevel:
             np.add.at(lengths, rows[lone], 2.0 * radii[lone])
             np.add.at(lengths, rows[tips], radii[tips])
 
-            # median thickness per branch (sorted-run medians)
+            # median thickness per branch: values sorted within each
+            # label run, median = mean of the two middle elements
             thickness = np.full(b, np.nan)
-            order = np.argsort(skel_labels, kind="stable")
+            order = np.lexsort((radii * 2.0, skel_labels))
             sl, st = skel_labels[order], (radii * 2.0)[order]
             starts = np.searchsorted(sl, row_labels)
             ends = np.searchsorted(sl, row_labels, side="right")
-            for i in range(b):
-                if ends[i] > starts[i]:
-                    thickness[i] = np.median(st[starts[i]:ends[i]])
+            run = ends - starts
+            has = run > 0
+            mid_lo = starts + np.maximum(run - 1, 0) // 2
+            mid_hi = starts + np.maximum(run, 1) // 2
+            thickness[has] = 0.5 * (st[np.minimum(mid_lo[has], len(st) - 1)]
+                                    + st[np.minimum(mid_hi[has], len(st) - 1)])
 
             swap = (~np.isnan(thickness)) & (thickness > lengths)
             thickness[swap], lengths[swap] = lengths[swap], thickness[swap].copy()
@@ -566,12 +776,13 @@ class _BranchLevel:
             tr, tc = tip_rows[torder], tip_coords[torder]
             tstarts = np.searchsorted(tr, np.arange(b))
             tends = np.searchsorted(tr, np.arange(b), side="right")
-            two = (tends - tstarts) >= 2
-            for i in np.nonzero(two)[0]:
-                p0, p1 = tc[tstarts[i]], tc[tstarts[i] + 1]
-                tip_dist = np.sqrt(np.sum(((p0 - p1) * spacing) ** 2))
-                if tip_dist > 0:
-                    tortuosity[i] = lengths[i] / tip_dist
+            two = np.nonzero((tends - tstarts) >= 2)[0]
+            if len(two):
+                p0 = tc[tstarts[two]]
+                p1 = tc[tstarts[two] + 1]
+                tip_dist = np.sqrt(np.sum(((p0 - p1) * spacing) ** 2, axis=1))
+                pos = tip_dist > 0
+                tortuosity[two[pos]] = lengths[two[pos]] / tip_dist[pos]
 
             self.branch_length = lengths
             self.branch_thickness = thickness
@@ -713,20 +924,72 @@ def _image_columns(vox, nodes, branches, components, skip_nodes: bool) -> dict:
     return cols
 
 
-class _CsvStream:
-    """Per-frame append writer with a stable header."""
+class _AsyncWorker:
+    """One background thread draining callables in FIFO order.
 
-    def __init__(self, path):
+    Frame t's host-side finalisation work — pandas CSV formatting
+    (~1.8 s/frame at bench size) and adjacency pair extraction (device
+    pull + unpackbits + nonzero) — runs here, overlapping frame t+1's
+    device compute.  A single thread keeps append order; the first
+    exception re-raises at :meth:`close`."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=16)
+        self._exc = None
+        self._thread = threading.Thread(
+            target=self._work, name="nellie-hier-worker", daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            try:
+                job()
+            except Exception as exc:  # noqa: BLE001 — re-raised at close
+                if self._exc is None:
+                    self._exc = exc
+
+    def submit(self, fn):
+        if self._exc is not None:
+            raise self._exc
+        self._q.put(fn)
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+
+class _CsvStream:
+    """Per-frame append writer with a stable header (writes ride the
+    shared background worker when one is given)."""
+
+    def __init__(self, path, pool: "_AsyncWorker | None" = None):
         self.path = path
         self.first = True
+        self.pool = pool
 
     def write(self, t, labels, cols: dict):
         n = len(labels)
-        data = {"t": np.full(n, t, np.int64), "label": labels}
-        data.update(cols)
+        data = {"t": np.full(n, t, np.int64), "label": np.asarray(labels)}
+        for k, v in cols.items():
+            # force host numpy now: a stray device array inside a
+            # DataFrame pulls per-column during to_csv (measured 8 ms
+            # per pull on the tunnelled link)
+            data[k] = np.asarray(v)
         df = pd.DataFrame(data)
-        df.to_csv(self.path, index=False, mode="w" if self.first else "a",
-                  header=self.first)
+        path, first = self.path, self.first
+        if self.pool is not None:
+            self.pool.submit(lambda: df.to_csv(
+                path, index=False, mode="w" if first else "a", header=first))
+        else:
+            df.to_csv(path, index=False, mode="w" if first else "a", header=first)
         self.first = False
 
 
@@ -811,16 +1074,19 @@ class Hierarchy:
     def _border_distance_cached(self, t, coords):
         """Border distance at skeleton coordinates — Nodes (pixel_class>0)
         and Branches (im_skel>0) query the identical voxel set, so the MXU
-        NN result is computed once per frame."""
+        NN result is computed once per frame.  Keyed by t (frames may be
+        built concurrently); entries evict once consumed twice."""
         coords = np.asarray(coords)
-        cache = getattr(self, "_frame_cache", None)
-        if cache is not None and cache.get("t") == t:
-            cached = cache.get("border_dist")
-            if cached is not None and cached[0].shape == coords.shape \
-                    and np.array_equal(cached[0], coords):
-                return cached[1]
+        cache = getattr(self, "_border_cache", None)
+        if cache is None:
+            cache = self._border_cache = {}
+        cached = cache.get(t)
+        if cached is not None and cached[0].shape == coords.shape \
+                and np.array_equal(cached[0], coords):
+            del cache[t]  # second (last) consumer
+            return cached[1]
         dist = border_distance(np.asarray(self.im_border_mask[t]), coords, self.spacing)
-        self._frame_cache = {"t": t, "border_dist": (coords, dist)}
+        cache[t] = (coords, dist)
         return dist
 
     def _run_hierarchy(self):
@@ -835,42 +1101,80 @@ class Hierarchy:
 
         self._allocate_memory()
         pp = self.im_info.pipeline_paths
+        pool = _AsyncWorker()
         writers = {
-            "voxels": _CsvStream(pp["features_voxels"]),
-            "branches": _CsvStream(pp["features_branches"]),
-            "organelles": _CsvStream(pp["features_organelles"]),
-            "image": _CsvStream(pp["features_image"]),
+            "voxels": _CsvStream(pp["features_voxels"], pool),
+            "branches": _CsvStream(pp["features_branches"], pool),
+            "organelles": _CsvStream(pp["features_organelles"], pool),
+            "image": _CsvStream(pp["features_image"], pool),
         }
         if not self.skip_nodes:
-            writers["nodes"] = _CsvStream(pp["features_nodes"])
+            writers["nodes"] = _CsvStream(pp["features_nodes"], pool)
 
         adjacency = {"v_b": [], "v_n": [], "v_o": [], "n_b": [], "n_o": [], "b_o": []}
+        # v_n pair lists are produced by _NodeLevel through the background
+        # worker (bit-packed mask extraction off the frame critical path);
+        # keyed by t and reassembled in order below
+        self._pool = pool
+        self._interp_lock = threading.Lock()
+        self._vn_results = ({} if self.enable_adjacency and not self.skip_nodes
+                            else None)
 
-        for t in range(self.num_t):
-            self._status(f"Extracting features. Frame: {t + 1} of {self.num_t}.")
-            logger.info("Hierarchy: frame %d/%d", t + 1, self.num_t)
+        def build(t):
             vox = _VoxelLevel(self, t)
             nodes = None if self.skip_nodes else _NodeLevel(self, t, vox)
             branches = _BranchLevel(self, t, vox, nodes)
             components = _ComponentLevel(self, t, vox, nodes, branches)
+            return vox, nodes, branches, components
 
-            n_vox = len(vox.coords)
-            writers["voxels"].write(t, np.arange(n_vox, dtype=np.int64), vox.columns())
-            if nodes is not None:
-                writers["nodes"].write(
-                    t, np.arange(len(nodes.nodes), dtype=np.int64), nodes.columns())
-            writers["branches"].write(t, branches.branch_label,
-                                      branches.columns(self.skip_nodes))
-            writers["organelles"].write(t, components.component_label,
-                                        components.columns(self.skip_nodes))
-            writers["image"].write(
-                t, np.zeros(1, np.int64),
-                _image_columns(vox, nodes, branches, components, self.skip_nodes))
+        # frames are independent: build a couple concurrently so frame
+        # t+1's host gathers and device dispatches overlap frame t's;
+        # results are consumed (CSV, adjacency) strictly in frame order
+        workers = 1 if self.low_memory else min(2, self.num_t)
+        executor = (ThreadPoolExecutor(max_workers=workers,
+                                       thread_name_prefix="nellie-hier-frame")
+                    if workers > 1 else None)
+        futures = {}
 
-            if self.enable_adjacency:
-                self._collect_adjacency(adjacency, vox, nodes, branches, components)
+        def result(t):
+            if executor is None:
+                return build(t)
+            for ahead in range(t, min(t + workers + 1, self.num_t)):
+                if ahead not in futures:
+                    futures[ahead] = executor.submit(build, ahead)
+            return futures.pop(t).result()
 
-        self._status("Finalizing run.")
+        try:
+            for t in range(self.num_t):
+                self._status(f"Extracting features. Frame: {t + 1} of {self.num_t}.")
+                logger.info("Hierarchy: frame %d/%d", t + 1, self.num_t)
+                vox, nodes, branches, components = result(t)
+
+                n_vox = len(vox.coords)
+                writers["voxels"].write(t, np.arange(n_vox, dtype=np.int64), vox.columns())
+                if nodes is not None:
+                    writers["nodes"].write(
+                        t, np.arange(len(nodes.nodes), dtype=np.int64), nodes.columns())
+                writers["branches"].write(t, branches.branch_label,
+                                          branches.columns(self.skip_nodes))
+                writers["organelles"].write(t, components.component_label,
+                                            components.columns(self.skip_nodes))
+                writers["image"].write(
+                    t, np.zeros(1, np.int64),
+                    _image_columns(vox, nodes, branches, components, self.skip_nodes))
+
+                if self.enable_adjacency:
+                    self._collect_adjacency(adjacency, vox, nodes, branches, components)
+
+            self._status("Finalizing run.")
+        finally:
+            for f in futures.values():
+                f.cancel()
+            if executor is not None:
+                executor.shutdown(wait=True)
+            pool.close()
+        if self._vn_results is not None:
+            adjacency["v_n"] = [self._vn_results[t] for t in range(self.num_t)]
         if self.enable_adjacency:
             with open(pp["adjacency_maps"], "wb") as f:
                 pickle.dump(adjacency, f)
@@ -896,9 +1200,7 @@ class Hierarchy:
             np.column_stack((np.nonzero(mask_o)[0], vox.component_labels[mask_o]))
             if mask_o.any() else np.zeros((0, 2), np.int64))
         if nodes is not None:
-            order = np.lexsort((nodes.pair_node, nodes.pair_vox))
-            adjacency["v_n"].append(np.column_stack(
-                (nodes.pair_vox[order], nodes.pair_node[order])).astype(np.int64))
+            # v_n was already queued by _NodeLevel via the background worker
             adjacency["n_b"].append(
                 self._label_edges(nodes.branch_label, branches.branch_label))
             adjacency["n_o"].append(

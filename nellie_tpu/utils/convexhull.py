@@ -1,10 +1,12 @@
-"""Convex hulls in pure numpy (2D monotone chain, 3D quickhull).
+"""Convex hulls for solidity (2D monotone chain, 3D quickhull/Qhull).
 
 Used by :mod:`nellie_tpu.utils.regionprops` for solidity — the discrete
-convex-image voxel count — replacing the scipy.spatial Delaunay
-point-in-hull test so the framework carries no scipy.spatial dependency
-(the reference gets this from skimage regionprops,
-``/root/reference/nellie/feature_extraction/hierarchical.py:1771-1804``).
+convex-image voxel count (the reference gets this from skimage
+regionprops, ``/root/reference/nellie/feature_extraction/
+hierarchical.py:1771-1804``).  The 3D hull build uses scipy's Qhull
+binding when importable (C — the per-frame hot path) and falls back to
+the self-contained vectorised numpy quickhull below, which also serves
+as the cross-implementation oracle in tests.
 
 The hulls are returned as half-space systems (A, b) with outward
 normals: a point p is inside iff ``A @ p <= b + eps`` for every row.
@@ -57,11 +59,32 @@ def hull_halfspaces_2d(points: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndar
     return normals, offsets
 
 
+def _face_planes_batch(pts: np.ndarray, V: np.ndarray, interior: np.ndarray):
+    """Outward unit plane (normal, offset) for each vertex triple in ``V``;
+    ``keep`` False where the triple is degenerate."""
+    p0 = pts[V[:, 0]]
+    nrm = np.cross(pts[V[:, 1]] - p0, pts[V[:, 2]] - p0)
+    ln = np.linalg.norm(nrm, axis=1)
+    keep = ln >= _EPS
+    nrm = nrm / np.maximum(ln, _EPS)[:, None]
+    flip = np.einsum("ij,ij->i", nrm, interior[None, :] - p0) > 0
+    nrm[flip] = -nrm[flip]
+    off = np.einsum("ij,ij->i", nrm, p0)
+    return nrm, off, keep
+
+
 def hull_halfspaces_3d(points: np.ndarray, tol: float = 1e-7,
                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Quickhull -> (A, b) half-space system; None for degenerate input
-    (all points coplanar/collinear). Faces carry precomputed plane data;
-    point-vs-face visibility is vectorised.
+    (all points coplanar/collinear).
+
+    Faces live in flat arrays (vertex triples ``V``, unit normals ``N``,
+    offsets ``OFF``) and every per-iteration step — visibility, horizon
+    extraction, new-face planes, orphan reassignment — is one vectorised
+    numpy call, so the Python cost per added hull vertex is O(1) calls
+    (the round-2 per-face dict version spent ~200µs/face in
+    ``make_face`` alone).  Each outside point is assigned to its
+    most-violated face (classic quickhull conflict lists).
 
     ``tol``: points within ``tol`` of a facet count as inside.  1e-7 is
     exact for integer voxel coordinates; a half-voxel tolerance (0.5)
@@ -87,82 +110,81 @@ def hull_halfspaces_3d(points: np.ndarray, tol: float = 1e-7,
     normal = np.cross(ab, c - a)
     if np.linalg.norm(normal) < _EPS:
         return None
-    dist = (pts - a) @ normal
-    d3 = int(np.argmax(np.abs(dist)))
-    if abs(dist[d3]) < _EPS:
+    dpl = (pts - a) @ normal
+    d3 = int(np.argmax(np.abs(dpl)))
+    if abs(dpl[d3]) < _EPS:
         return None  # coplanar
     d = pts[d3]
     interior = (a + b + c + d) / 4.0
 
-    def make_face(i, j, k):
-        """Face dict with outward plane; vertex order fixed so the normal
-        points away from the interior point."""
-        nrm = np.cross(pts[j] - pts[i], pts[k] - pts[i])
-        ln = np.linalg.norm(nrm)
-        if ln < _EPS:
-            return None
-        nrm = nrm / ln
-        if nrm @ (interior - pts[i]) > 0:
-            nrm = -nrm
-            j, k = k, j
-        return {"v": (i, j, k), "n": nrm, "off": float(nrm @ pts[i]),
-                "out": np.empty(0, np.int64), "d": np.empty(0)}
-
-    faces = [make_face(d0, d1, d2), make_face(d0, d1, d3),
-             make_face(d0, d2, d3), make_face(d1, d2, d3)]
-    faces = [f for f in faces if f is not None]
-    if len(faces) < 4:
+    V = np.asarray([(d0, d1, d2), (d0, d1, d3), (d0, d2, d3), (d1, d2, d3)],
+                   np.int64)
+    N, OFF, keep = _face_planes_batch(pts, V, interior)
+    V, N, OFF = V[keep], N[keep], OFF[keep]
+    if len(V) < 4:
         return None
 
-    all_idx = np.arange(n)
-    for f in faces:
-        dd = pts[all_idx] @ f["n"] - f["off"]
-        sel = dd > tol
-        f["out"], f["d"] = all_idx[sel], dd[sel]
+    # conflict lists: each point's most-violated face (-1 = inside)
+    D = pts @ N.T - OFF[None, :]
+    best_f = np.argmax(D, axis=1)
+    best_d = D[np.arange(n), best_f]
+    assign = np.where(best_d > tol, best_f, -1)
+    dist = np.where(assign >= 0, best_d, -np.inf)
 
-    max_iter = 8 * n + 64
-    for _ in range(max_iter):
-        target = next((f for f in faces if len(f["out"])), None)
-        if target is None:
+    vis_eps = min(tol, 1e-9)
+    for _ in range(n):
+        far = int(np.argmax(dist))
+        if assign[far] < 0:
             break
-        far = int(target["out"][int(np.argmax(target["d"]))])
         p_far = pts[far]
-        # visible faces (vectorised over the face list)
-        normals = np.stack([f["n"] for f in faces])
-        offs = np.asarray([f["off"] for f in faces])
-        vis = normals @ p_far - offs > min(tol, 1e-9)
-        if not vis.any():
-            for f in faces:
-                keep = f["out"] != far
-                f["out"], f["d"] = f["out"][keep], f["d"][keep]
-            continue
-        visible = [f for f, v in zip(faces, vis) if v]
-        hidden = [f for f, v in zip(faces, vis) if not v]
-        # horizon: edges appearing in exactly one visible face
-        edge_count: dict = {}
-        for f in visible:
-            i, j, k = f["v"]
-            for u, v in ((i, j), (j, k), (k, i)):
-                key = (min(u, v), max(u, v))
-                cnt, _ = edge_count.get(key, (0, (u, v)))
-                edge_count[key] = (cnt + 1, (u, v))
-        horizon = [dirn for (cnt, dirn) in edge_count.values() if cnt == 1]
-        orphan = np.unique(np.concatenate([f["out"] for f in visible]))
-        orphan = orphan[orphan != far]
-        faces = hidden
-        for (u, v) in horizon:
-            nf = make_face(u, v, far)
-            if nf is None:
-                continue
-            if len(orphan):
-                dd = pts[orphan] @ nf["n"] - nf["off"]
-                sel = dd > tol
-                nf["out"], nf["d"] = orphan[sel], dd[sel]
-            faces.append(nf)
+        vis = N @ p_far - OFF > vis_eps
+        if not vis[assign[far]]:
+            vis[assign[far]] = True  # numerical safety: its own face is visible
+        # horizon: undirected edges of visible faces seen exactly once
+        tri = V[vis]
+        e = np.concatenate([tri[:, (0, 1)], tri[:, (1, 2)], tri[:, (2, 0)]])
+        key = np.minimum(e[:, 0], e[:, 1]) * np.int64(n + 1) + np.maximum(e[:, 0], e[:, 1])
+        _, first_idx, cnts = np.unique(key, return_index=True, return_counts=True)
+        horizon = e[first_idx[cnts == 1]]
 
-    A = np.stack([f["n"] for f in faces])
-    b_off = np.asarray([f["off"] for f in faces])
-    return A, b_off
+        # orphans: points whose conflict face is being removed
+        alive = assign >= 0
+        orphan_mask = alive.copy()
+        orphan_mask[alive] = vis[assign[alive]]
+        orphan_mask[far] = False
+        orphan = np.nonzero(orphan_mask)[0]
+
+        keep_mask = ~vis
+        remap = -np.ones(len(V), np.int64)
+        remap[keep_mask] = np.arange(int(keep_mask.sum()))
+        V, N, OFF = V[keep_mask], N[keep_mask], OFF[keep_mask]
+        assign[alive] = remap[assign[alive]]
+
+        # cone of new faces from the horizon to the far point
+        Vn = np.column_stack([horizon, np.full(len(horizon), far, np.int64)])
+        Nn, OFFn, keep2 = _face_planes_batch(pts, Vn, interior)
+        Vn, Nn, OFFn = Vn[keep2], Nn[keep2], OFFn[keep2]
+        base = len(V)
+        V = np.concatenate([V, Vn])
+        N = np.concatenate([N, Nn])
+        OFF = np.concatenate([OFF, OFFn])
+
+        if len(orphan) and len(Vn):
+            dd = pts[orphan] @ Nn.T - OFFn[None, :]
+            bf = np.argmax(dd, axis=1)
+            bd = dd[np.arange(len(orphan)), bf]
+            sel = bd > tol
+            assign[orphan[sel]] = base + bf[sel]
+            dist[orphan[sel]] = bd[sel]
+            assign[orphan[~sel]] = -1
+            dist[orphan[~sel]] = -np.inf
+        elif len(orphan):
+            assign[orphan] = -1
+            dist[orphan] = -np.inf
+        assign[far] = -1
+        dist[far] = -np.inf
+
+    return N, OFF
 
 
 def _dedup_planes(A: np.ndarray, b: np.ndarray, decimals: int = 7):
@@ -194,6 +216,24 @@ def _row_extremes(coords: np.ndarray) -> np.ndarray:
     return np.concatenate([lo, hi[~same]])
 
 
+def _hull_halfspaces_qhull(coords: np.ndarray):
+    """3D hull half-spaces via scipy's Qhull binding (C — ~10x the pure
+    numpy quickhull on voxel regions).  Returns (handled, hs): handled
+    False when scipy isn't importable (fall back to own quickhull); hs
+    None for degenerate input (Qhull rejects flat point sets, matching
+    ``hull_halfspaces_3d``'s None)."""
+    try:
+        from scipy.spatial import ConvexHull
+    except Exception:  # noqa: BLE001 — optional fast path
+        return False, None
+    try:
+        h = ConvexHull(np.asarray(coords, np.float64))
+    except Exception:  # noqa: BLE001 — QhullError on degenerate input
+        return True, None
+    # equations rows are [normal | offset] with normal @ p + offset <= 0
+    return True, (h.equations[:, :-1], -h.equations[:, -1])
+
+
 def convex_image_count(coords: np.ndarray) -> Optional[int]:
     """Number of integer grid points (over the coords' bbox) inside the
     convex hull — skimage's discrete ``convex_image`` voxel count."""
@@ -207,7 +247,11 @@ def convex_image_count(coords: np.ndarray) -> Optional[int]:
     if ndim == 2:
         hs = hull_halfspaces_2d(coords)
     else:
-        hs = hull_halfspaces_3d(coords, tol=tol)
+        handled, hs = _hull_halfspaces_qhull(coords)
+        if handled:
+            tol = 1e-7  # Qhull is exact at any region size
+        else:
+            hs = hull_halfspaces_3d(coords, tol=tol)
     if hs is None:
         return None
     A, b = _dedup_planes(*hs)

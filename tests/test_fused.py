@@ -1,0 +1,127 @@
+"""Fused device-resident segmentation == classic per-stage path.
+
+The fused loop (``pipeline/fused.py``) runs the SAME jitted kernels as
+the standalone stage classes, so every stage-1..4 artifact must be
+bit-identical between the two paths (the mode-parity pattern of
+SURVEY.md §4, applied at the orchestration level)."""
+import numpy as np
+import pytest
+
+from nellie_tpu.io import ome as ome_mod
+from nellie_tpu.io import tiff as tifffile
+from nellie_tpu.io.verifier import FileInfo, ImInfo
+
+
+def _make_input(tmp_path, name, n_t=2, shape_zyx=(12, 48, 48), seed=0, no_z=False):
+    rng = np.random.default_rng(seed)
+    if no_z:
+        y, x = np.mgrid[0:shape_zyx[-2], 0:shape_zyx[-1]]
+        frames = [
+            np.clip(700 * np.exp(-((y - 24 - t + 5 * np.sin(x / 8.0)) ** 2) / (2 * 2.0**2))
+                    + rng.normal(80, 5, shape_zyx[-2:]), 0, None)
+            for t in range(n_t)
+        ]
+        axes = "TYX"
+        dim_res = {"X": 0.1, "Y": 0.1, "Z": None, "T": 2.0}
+    else:
+        z, y, x = np.mgrid[0:shape_zyx[0], 0:shape_zyx[1], 0:shape_zyx[2]]
+        frames = [
+            np.clip(900.0 * np.exp(
+                -(((z - 6) ** 2) * 0.25 + (y - 24 - t + 6 * np.sin(x / 9.0)) ** 2 / 2)
+                / (2 * 2.2**2)) + rng.normal(100, 5, shape_zyx), 0, None)
+            for t in range(n_t)
+        ]
+        axes = "TZYX"
+        dim_res = {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 2.0}
+    data = np.stack(frames).astype(np.uint16)
+    desc = ome_mod.build_ome_xml(axes, data.shape, "uint16", dim_res=dim_res)
+    path = tmp_path / f"{name}.ome.tif"
+    tifffile.imwrite(path, data, description=desc)
+    fi = FileInfo(str(path))
+    fi.find_metadata()
+    fi.load_metadata()
+    return fi
+
+
+STAGE14_ARTIFACTS = ("im_preprocessed", "im_instance_label", "im_skel",
+                     "im_pixel_class", "im_skel_relabelled", "im_marker",
+                     "im_distance", "im_border")
+
+
+def _run_both(tmp_path, no_z=False, **kwargs):
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+    from nellie_tpu.stages.filtering import Filter
+    from nellie_tpu.stages.labelling import Label
+    from nellie_tpu.stages.mocap_marking import Markers
+    from nellie_tpu.stages.networking import Network
+
+    (tmp_path / "a").mkdir(exist_ok=True)
+    (tmp_path / "b").mkdir(exist_ok=True)
+    fi_a = _make_input(tmp_path / "a", "cells", no_z=no_z)
+    fi_b = _make_input(tmp_path / "b", "cells", no_z=no_z)
+    im_a = ImInfo(fi_a)
+    im_b = ImInfo(fi_b)
+
+    Filter(im_a, remove_edges=kwargs.get("remove_edges", False)).run()
+    Label(im_a, otsu_thresh_intensity=kwargs.get("otsu_thresh_intensity", False),
+          threshold=kwargs.get("threshold")).run()
+    Network(im_a).run()
+    Markers(im_a).run()
+
+    FusedSegmentation(im_b, **kwargs).run()
+    return im_a, im_b
+
+
+def _assert_artifacts_equal(im_a, im_b):
+    for key in STAGE14_ARTIFACTS:
+        a = np.asarray(im_a.get_memmap(im_a.pipeline_paths[key]))
+        b = np.asarray(im_b.get_memmap(im_b.pipeline_paths[key]))
+        np.testing.assert_array_equal(a, b, err_msg=key)
+
+
+@pytest.mark.slow
+def test_fused_matches_per_stage_3d(tmp_path):
+    im_a, im_b = _run_both(tmp_path)
+    _assert_artifacts_equal(im_a, im_b)
+    labels = np.asarray(im_b.get_memmap(im_b.pipeline_paths["im_instance_label"]))
+    assert (labels > 0).any()
+
+
+@pytest.mark.slow
+def test_fused_matches_per_stage_2d(tmp_path):
+    im_a, im_b = _run_both(tmp_path, no_z=True)
+    _assert_artifacts_equal(im_a, im_b)
+
+
+@pytest.mark.slow
+def test_fused_matches_per_stage_otsu_and_edges(tmp_path):
+    im_a, im_b = _run_both(tmp_path, otsu_thresh_intensity=True, remove_edges=True)
+    _assert_artifacts_equal(im_a, im_b)
+
+
+@pytest.mark.slow
+def test_fused_full_run_produces_all_artifacts(tmp_path):
+    """run(fused=True) end-to-end: downstream stages consume the fused
+    artifacts and the timing dict carries the fused key."""
+    import os
+
+    from nellie_tpu.pipeline.run import run
+
+    fi = _make_input(tmp_path, "cells")
+    im_info, timings = run(fi, return_timings=True, warm_start=False)
+    assert "seg_fused" in timings
+    pp = im_info.pipeline_paths
+    for key in STAGE14_ARTIFACTS + ("flow_vector_array", "features_organelles",
+                                    "adjacency_maps"):
+        assert os.path.exists(pp[key]), key
+
+
+def test_fused_stage_fencing_times(tmp_path):
+    """fence_stages returns a per-stage device-time dict."""
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+
+    fi = _make_input(tmp_path, "cells", n_t=1)
+    seg = FusedSegmentation(ImInfo(fi))
+    times = seg.run(fence_stages=True)
+    assert set(times) == {"filter", "label", "network", "markers"}
+    assert all(v > 0 for v in times.values())

@@ -199,3 +199,43 @@ def test_segment_nanstats_gathered_parity(rng):
     for key in a:
         np.testing.assert_allclose(a[key], b[key], rtol=1e-6,
                                    equal_nan=True, err_msg=key)
+
+
+def test_node_device_aggregate_matches_host_oracle(rng):
+    """The one-program device node aggregation (_node_agg_scan_kernel)
+    == the dense numpy pair path (_host_aggregate) — the round-3
+    mode-parity invariant for the node level."""
+    from types import SimpleNamespace
+
+    from nellie_tpu.stages.hierarchical import VOXEL_STATS, _NodeLevel
+
+    m, c, d = 37, 900, 3
+    nodes = rng.integers(0, 30, (m, d))
+    coords = rng.integers(0, 30, (c, d))
+    lo = np.clip(nodes - 3, 0, 30).astype(np.int32)
+    hi = np.clip(nodes + 4, 0, 30).astype(np.int32)
+
+    vox = SimpleNamespace()
+    vox.coords = coords
+    vox.vec01 = rng.normal(0, 1, (c, d)).astype(np.float32)
+    vox.vec01[rng.random(c) < 0.3] = np.nan
+    vox.vec12 = rng.normal(0, 1, (c, d)).astype(np.float32)
+    vox.vec12[rng.random(c) < 0.2] = np.nan
+    vox.stats = rng.normal(10, 3, (len(VOXEL_STATS), c)).astype(np.float32)
+    vox.stats[0, rng.random(c) < 0.4] = np.nan
+
+    h = SimpleNamespace(max_node_mask_elems=int(5e7), low_memory=False,
+                        node_chunk_size=257)  # force multiple scan chunks
+
+    nl = object.__new__(_NodeLevel)
+    nl.nodes = nodes
+    host = nl._host_aggregate(h, lo, hi, vox, m)
+    dev = nl._device_aggregate(h, lo, hi, vox, m)
+    for name, a, b in (("conv", host[0], dev[0]), ("div", host[1], dev[1]),
+                       ("coords", host[2], dev[2])):
+        np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float),
+                                   rtol=2e-5, atol=1e-5, err_msg=name)
+    for k in host[3]:
+        np.testing.assert_allclose(np.asarray(host[3][k], float),
+                                   np.asarray(dev[3][k], float),
+                                   rtol=3e-5, atol=1e-4, err_msg=k)
