@@ -140,27 +140,35 @@ def _motility_kernel(coords_px, vec01_px, vec12_px, labels, spacing, dt,
         av = ang_disp / dt
         return av, jnp.linalg.norm(av, axis=1)
 
-    def rel_coords(vec_phys, coords_a, coords_b):
+    def rel_coords(vec_phys, a_px, b_px):
         """Positions relative to the branch's reference voxel — the member
-        of minimum |flow| (hierarchical.py:861-913)."""
+        of minimum |flow| (hierarchical.py:861-913).
+
+        The subtraction happens in PIXEL space before scaling: computing
+        ``a_px*sp - gather(a_px*sp)`` lets XLA fuse the first product into
+        an FMA whose unrounded result leaves a ~1e-8 residual at the
+        reference voxel itself — which then defeats the ``norm != 0`` NaN
+        gate of the angular formulas and emits noise-direction values
+        (caught by the features-CSV oracle).  ``(a_px - a_px[ref]) * sp``
+        is exactly zero at the reference voxel under any fusion."""
         euc = jnp.linalg.norm(vec_phys, axis=1)
         ref_of_label = _segment_argmin(euc, labels, num_labels)
         lbl_ok = (labels >= 0) & (labels < num_labels)
         ridx = jnp.where(lbl_ok, ref_of_label[jnp.clip(labels, 0, num_labels - 1)], -1)
         ok = (ridx >= 0)[:, None]
         ridx_c = jnp.maximum(ridx, 0)
-        ref_a = jnp.where(ok, coords_a[ridx_c], nan)
-        ref_b = jnp.where(ok, coords_b[ridx_c], nan)
-        ref_a = jnp.where(jnp.isnan(vec_phys), nan, ref_a)
-        ref_b = jnp.where(jnp.isnan(vec_phys), nan, ref_b)
-        return coords_a - ref_a, coords_b - ref_b
+        ra = jnp.where(ok, (a_px - a_px[ridx_c]) * sp, nan)
+        rb = jnp.where(ok, (b_px - b_px[ridx_c]) * sp, nan)
+        ra = jnp.where(jnp.isnan(vec_phys), nan, ra)
+        rb = jnp.where(jnp.isnan(vec_phys), nan, rb)
+        return ra, rb
 
     vec12 = vec12_px * sp
     coords_2 = (coords_px + vec12_px) * sp
 
     lin_vel_v, lin_vel_mag = lin(coords_1, coords_2)
     ang_vel, ang_vel_mag = ang(coords_1, coords_2)
-    r1_rel, r2_rel = rel_coords(vec12, coords_1, coords_2)
+    r1_rel, r2_rel = rel_coords(vec12, coords_px, coords_px + vec12_px)
     lin_vel_rel_v, lin_vel_rel_mag = lin(r1_rel, r2_rel)
     ang_vel_rel, ang_vel_rel_mag = ang(r1_rel, r2_rel)
     r1m = jnp.linalg.norm(r1_rel, axis=1)
@@ -174,7 +182,7 @@ def _motility_kernel(coords_px, vec01_px, vec12_px, labels, spacing, dt,
         coords_0 = (coords_px - vec01_px) * sp
         lin_vel_01v, _ = lin(coords_0, coords_1)
         ang_vel_01, _ = ang(coords_0, coords_1)
-        r0_rel, r1_rel01 = rel_coords(vec01, coords_0, coords_1)
+        r0_rel, r1_rel01 = rel_coords(vec01, coords_px - vec01_px, coords_px)
         lin_vel_rel_01v, _ = lin(r0_rel, r1_rel01)
         ang_vel_rel_01, _ = ang(r0_rel, r1_rel01)
 
