@@ -109,6 +109,26 @@ def _numpy_reference_seconds(frame, params, min_area):
     return time.perf_counter() - start
 
 
+def _cpu_reference_e2e(shape=(2, 64, 256, 256)):
+    """Full seven-stage CPU reference floor (numpy/scipy oracle chain,
+    tests/oracle/e2e_cpu.py) on bench-size frames — the denominator of
+    the driver-captured ``e2e_vs_cpu`` ratio.  Pure host numpy/scipy;
+    runs alongside the TPU numbers in the same process."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle.e2e_cpu import run_cpu_reference
+
+    t_frames, *vol = shape
+    frames = np.stack([
+        np.roll(_make_frame(tuple(vol), seed=0), shift=3 * t, axis=1)
+        for t in range(t_frames)
+    ])
+    data = np.clip(frames, 0, 65535).astype(np.uint16)
+    _, times = run_cpu_reference(data, {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 2.0})
+    return times, t_frames, int(np.prod(vol))
+
+
 def _e2e_warm_timings(shape=(3, 64, 256, 256)):
     """Full seven-stage pipeline, steady-state: run once cold (compiles),
     once warm on identical shapes; returns (warm per-stage dict, warm
@@ -242,6 +262,24 @@ def main():
                   f"({t_frames}x{vox / 1e6:.1f} Mvox frames)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — e2e is additive, never fatal
             print(f"[bench] e2e skipped: {exc!r}", file=sys.stderr)
+
+    # CPU reference floor: the numpy/scipy oracle chain end-to-end at the
+    # same frame size — denominator for the e2e ratio (NELLIE_BENCH_CPU=0
+    # to skip; ~4-6 min of pure host compute)
+    if (os.environ.get("NELLIE_BENCH_CPU", "1") != "0"
+            and "e2e_s_per_frame" in record):
+        try:
+            cpu_times, cpu_frames, cpu_vox = _cpu_reference_e2e()
+            cpu_spf = cpu_times["total"] / cpu_frames
+            record["e2e_cpu_s_per_frame"] = round(cpu_spf, 2)
+            record["e2e_cpu_stage_s_per_frame"] = {
+                k: round(v / cpu_frames, 2) for k, v in cpu_times.items()
+                if k != "total"}
+            record["e2e_vs_cpu"] = round(cpu_spf / record["e2e_s_per_frame"], 1)
+            print(f"[bench] CPU reference e2e: {cpu_spf:.1f}s/frame "
+                  f"-> e2e_vs_cpu = {record['e2e_vs_cpu']}x", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — additive, never fatal
+            print(f"[bench] CPU reference floor skipped: {exc!r}", file=sys.stderr)
 
     print(json.dumps(record))
 

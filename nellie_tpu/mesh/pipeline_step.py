@@ -47,17 +47,24 @@ from nellie_tpu.stages.networking import (
 
 @dataclass(frozen=True)
 class PipelineStepParams:
-    """Static configuration of the dense pipeline step."""
+    """Static configuration of the dense pipeline step.
+
+    The caps bound the fixed-capacity dense formulations of the
+    data-dependent stages; :func:`full_pipeline_step` checks the true
+    per-frame counts against them after the run and (by default) retries
+    with grown caps instead of silently truncating."""
 
     frangi: frangi_k.FrangiParams
     markers: MarkerParams
     sampling: Tuple[float, ...]          # physical voxel size per axis
     min_area: int = 4
-    marker_cap: int = 128                # fixed marker capacity per frame
-    voxel_cap: int = 1024                # fixed foreground-voxel capacity
-    label_cap: int = 32                  # per-label stats capacity
+    marker_cap: int = 512                # fixed marker capacity per frame
+    voxel_cap: int = 16384               # fixed foreground-voxel capacity
+    label_cap: int = 64                  # per-organelle stats capacity
+    branch_cap: int = 128                # per-branch stats capacity
     roi_r: int = 4                       # tracking ROI cube radius
     max_distance_um: float = 1.0
+    interp_max_distance_um: float = 1.0  # flow-interp radius (0.5 um x dt)
 
 
 def _topk_coords(score_flat: jnp.ndarray, shape, k: int):
@@ -97,36 +104,41 @@ def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
     stats, hu = _roi_features_kernel(
         pad_i, pad_f, mcoords, radii, mvalid, p.roi_r, no_z)
 
-    # stage 6 inputs: fixed-capacity foreground voxel set
+    # stage 6/7 inputs: fixed-capacity foreground voxel set with gathered
+    # per-voxel attributes (labels, branch ids, intensity, structure)
     vcoords, vvalid = _topk_coords(mask.astype(jnp.float32).reshape(-1),
                                    frame.shape, p.voxel_cap)
-
-    # stage 7: per-label nan statistics of intensity + structure on device
-    seg_ids = jnp.where(labels < p.label_cap, labels, 0)
-    seg_ids = jnp.where(mask, seg_ids, 0).reshape(-1).astype(jnp.int32)
-    values = jnp.stack([frame.astype(jnp.float32).reshape(-1),
-                        vessel.reshape(-1)])
-    hier = _segment_nanstats_kernel(values, seg_ids, p.label_cap)  # (5, S, L)
+    vat = tuple(vcoords.T)
+    vlabels = jnp.where(vvalid, labels[vat], 0).astype(jnp.int32)
+    vbranch = jnp.where(vvalid, branch_labels[vat].astype(jnp.int32), 0)
+    vintensity = jnp.where(vvalid, frame.astype(jnp.float32)[vat], jnp.nan)
+    vstructure = jnp.where(vvalid, vessel[vat], jnp.nan)
 
     spacing = jnp.asarray(p.sampling, jnp.float32)
     out = {
         "vessel": vessel,
         "labels": labels,
         "n_labels": n_labels,
+        "n_fg": jnp.sum(mask).astype(jnp.int32),
+        "n_markers": jnp.sum(marker.astype(jnp.int32)),
         "skel": skel,
         "pixel_class": pixel_class,
         "branch_labels": branch_labels,
         "marker": marker,
         "distance": distance,
         "border": border,
+        "marker_coords": mcoords,
         "marker_coords_phys": mcoords.astype(jnp.float32) * spacing[None],
         "marker_valid": mvalid,
         "marker_stats": stats,
         "marker_hu": hu,
+        "voxel_coords": vcoords,
         "voxel_coords_phys": vcoords.astype(jnp.float32) * spacing[None],
         "voxel_valid": vvalid,
-        "hier_mean": hier[0],
-        "hier_std": hier[1],
+        "voxel_labels": vlabels,
+        "voxel_branch": vbranch,
+        "voxel_intensity": vintensity,
+        "voxel_structure": vstructure,
     }
     return out
 
@@ -142,7 +154,9 @@ def pipeline_frame_step(frame: jnp.ndarray, p: PipelineStepParams):
 def _match_pair(coords_post, coords_pre, feats_post, feats_pre,
                 valid_post, valid_pre, max_distance):
     """Mutual-best flow vectors between consecutive frames' markers
-    (dense z-scored cost, reference ``hu_tracking.py:841-944``)."""
+    (dense z-scored cost, reference ``hu_tracking.py:841-944``).
+    Returns (vec_phys, ok, cost, origin_phys): flow rows anchored at the
+    PRE-frame marker positions, like the reference's flow_vector_array."""
     cnt, s, ss = pair_stats(coords_post, coords_pre, feats_post, feats_pre,
                             valid_post, valid_pre, max_distance)
     cnt = jnp.maximum(cnt, 1.0)
@@ -154,7 +168,9 @@ def _match_pair(coords_post, coords_pre, feats_post, feats_pre,
                                 mean, std, n_stats)
     ok = rmv < COST_CUTOFF
     vec = coords_post - coords_pre[rmi]
-    return jnp.where(ok[:, None], vec, jnp.nan), ok
+    origin = coords_pre[rmi]
+    return (jnp.where(ok[:, None], vec, jnp.nan), ok,
+            jnp.where(ok, rmv, 0.0), origin)
 
 
 def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
@@ -165,6 +181,34 @@ def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
     JFA, marker NMS): their hundreds of sequential sub-iterations would
     be halo-exchange latency-bound under spatial sharding, so
     data-parallel-by-frame is the faster layout for them."""
+
+    from nellie_tpu.kernels.voting import _vote_kernel
+    from nellie_tpu.stages.flow_interpolation import _interp_tile_kernel
+    from nellie_tpu.stages.hierarchical import _motility_kernel
+
+    spacing_v = jnp.asarray(p.sampling, jnp.float32)
+    max_d = jnp.float32(p.max_distance_um)
+
+    def _nn_exact(queries, refs):
+        """Exact squared-difference NN (not the MXU dot trick): the
+        three-term per-dimension sum has a fixed association order, so
+        results are bit-identical under any GSPMD partitioning — the dot
+        formulation's k-contraction reassociates across shards and can
+        flip d<max_distance right at the boundary (seen in the sharded
+        parity test)."""
+        d2 = jnp.zeros((queries.shape[0], refs.shape[0]), jnp.float32)
+        for dim in range(queries.shape[1]):
+            diff = queries[:, dim][:, None] - refs[:, dim][None, :]
+            d2 = d2 + diff * diff
+        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1).astype(jnp.int32)
+    interp_d = jnp.float32(p.interp_max_distance_um)
+    far = 1e6
+
+    def interp(query_phys, query_valid, origin_phys, flow_valid, vec_phys, cost):
+        """Reference flow-interp weighting at query coords (physical in,
+        physical vectors out; NaN rows where no flow vector in radius)."""
+        return _interp_tile_kernel(query_phys, query_valid, origin_phys,
+                                   flow_valid, vec_phys, cost, interp_d)
 
     def step(batch):
         spec_tz = [None] * batch.ndim
@@ -184,43 +228,168 @@ def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
             lambda f, v, l, n: _post_segment_frame(f, v, l, n, p))(
             batch_t, vessel, labels, n_labels)
 
-        # stage 5: match markers of frame t -> t+1 (vmap over frame pairs)
+        # stage 5: match markers of frame t -> t+1 (vmap over frame pairs);
+        # rows anchored at the pre-frame marker (reference flow rows)
         feats = jnp.concatenate([per["marker_stats"], per["marker_hu"]], axis=2)
-        flow_vec, flow_ok = jax.vmap(
+        flow_vec, flow_ok, flow_cost, flow_origin = jax.vmap(
             lambda cpo, cpr, fpo, fpr, vpo, vpr: _match_pair(
-                cpo, cpr, fpo, fpr, vpo, vpr,
-                jnp.float32(p.max_distance_um)))(
+                cpo, cpr, fpo, fpr, vpo, vpr, max_d))(
             per["marker_coords_phys"][1:], per["marker_coords_phys"][:-1],
             feats[1:], feats[:-1],
             per["marker_valid"][1:], per["marker_valid"][:-1])
+        flow_finite = flow_ok & ~jnp.isnan(flow_vec).any(axis=-1)
+        flow_vec0 = jnp.nan_to_num(flow_vec)
 
-        # stage 6: nearest-voxel matching t -> t+1 (MXU dot-trick argmin)
-        far = 1e6
-        vc = jnp.where(per["voxel_valid"][..., None],
-                       per["voxel_coords_phys"], far)
-        nn_d, nn_i = jax.vmap(nn_argmin_xla)(vc[:-1], vc[1:])
+        # the capped marker/voxel tables are tiny next to the volumes:
+        # pin them (and the flow rows) to a fully-replicated layout so the
+        # interp/NN/vote float reductions are computed identically on
+        # every device — partitioned contractions reassociate and can
+        # flip d<max_distance boundary decisions between mesh sizes
+        rep = NamedSharding(mesh, P())
+        flow_vec0 = lax.with_sharding_constraint(flow_vec0, rep)
+        flow_cost = lax.with_sharding_constraint(flow_cost, rep)
+        flow_origin = lax.with_sharding_constraint(flow_origin, rep)
+        flow_finite = lax.with_sharding_constraint(flow_finite, rep)
+        vc_phys = lax.with_sharding_constraint(per["voxel_coords_phys"], rep)
+        vvalid = lax.with_sharding_constraint(per["voxel_valid"], rep)
+
+        # stage 7 motility inputs: fwd (vec12) and bwd (vec01) interpolated
+        # flow at every frame's voxel set, voxel units
+        def fwd_at(t_pair):
+            return interp(vc_phys[t_pair], vvalid[t_pair],
+                          flow_origin[t_pair], flow_finite[t_pair],
+                          flow_vec0[t_pair], flow_cost[t_pair])
+
+        def bwd_at(t_pair):
+            # bwd query at frame t_pair+1 voxels; flow anchored at the
+            # post-frame position (origin + vec), reference fi:277-292
+            return interp(vc_phys[t_pair + 1], vvalid[t_pair + 1],
+                          flow_origin[t_pair] + flow_vec0[t_pair],
+                          flow_finite[t_pair], flow_vec0[t_pair],
+                          flow_cost[t_pair])
+
+        n_t = vc_phys.shape[0]
+        pair_idx = jnp.arange(n_t - 1)
+        vec12_pairs = jax.vmap(fwd_at)(pair_idx)       # (T-1, V, d) at frames 0..T-2
+        vec01_pairs = jax.vmap(bwd_at)(pair_idx)       # (T-1, V, d) at frames 1..T-1
+        nanrow = jnp.full((1,) + vec12_pairs.shape[1:], jnp.nan)
+        vec12 = jnp.concatenate([vec12_pairs, nanrow])             # per frame t
+        vec01 = jnp.concatenate([nanrow, vec01_pairs])
+        vec12_px = vec12 / spacing_v[None, None, :]
+        vec01_px = vec01 / spacing_v[None, None, :]
+
+        # stage 7: the full 11-statistic voxel bundle + per-level stats
+        mot = jax.vmap(lambda c, v01, v12, lbl: _motility_kernel(
+            c.astype(jnp.float32), v01, v12, lbl, spacing_v, jnp.float32(1.0),
+            no_z=batch.ndim - 1 == 2, has01=True, num_labels=p.branch_cap))(
+            per["voxel_coords"],
+            vec01_px, vec12_px,
+            jnp.where(vvalid, per["voxel_branch"], -1))
+        vox_stats = jnp.concatenate(
+            [mot, per["voxel_structure"][:, None, :],
+             per["voxel_intensity"][:, None, :]], axis=1)  # (T, 11, V)
+
+        seg_org = jnp.where(vvalid, per["voxel_labels"], -1)
+        seg_br = jnp.where(vvalid, per["voxel_branch"], -1)
+        hier_org = jax.vmap(lambda v, s: _segment_nanstats_kernel(
+            v, s, p.label_cap))(vox_stats, seg_org)      # (T, 5, 11, L)
+        hier_branch = jax.vmap(lambda v, s: _segment_nanstats_kernel(
+            v, s, p.branch_cap))(vox_stats, seg_br)      # (T, 5, 11, B)
+
+        # stage 6: flow-guided fwd+bwd voxel matching with weighted label
+        # VOTING (reference voxel_reassignment.py:907-992; single voting
+        # pass — the reference's refine iterations re-vote only residual
+        # unassigned targets), chained t=0 -> T-1 so identities propagate
+        vcap = p.voxel_cap
+
+        def reassign_pair(prev_labels, t_pair):
+            vc_t = jnp.where(vvalid[t_pair][:, None], vc_phys[t_pair], far)
+            vc_t1 = jnp.where(vvalid[t_pair + 1][:, None], vc_phys[t_pair + 1], far)
+            # forward: predict t voxels into t+1, NN against t+1 voxels
+            fvec = vec12[t_pair]
+            f_ok = vvalid[t_pair] & ~jnp.isnan(fvec).any(axis=1) & (prev_labels > 0)
+            pred = jnp.where(f_ok[:, None], vc_t + jnp.nan_to_num(fvec), far * 2)
+            d2_f, i_f = _nn_exact(pred, vc_t1)
+            d_f = jnp.sqrt(jnp.maximum(d2_f, 0.0))
+            keep_f = f_ok & (d_f < p.max_distance_um)
+            # backward: predict t+1 voxels into t, NN against t voxels
+            bvec = vec01[t_pair + 1]
+            b_ok = vvalid[t_pair + 1] & ~jnp.isnan(bvec).any(axis=1)
+            pred_b = jnp.where(b_ok[:, None], vc_t1 - jnp.nan_to_num(bvec), far * 2)
+            d2_b, i_b = _nn_exact(pred_b, vc_t)
+            d_b = jnp.sqrt(jnp.maximum(d2_b, 0.0))
+            src_lbl_b = prev_labels[i_b]
+            keep_b = b_ok & (d_b < p.max_distance_um) & (src_lbl_b > 0)
+
+            targets = jnp.concatenate([i_f, jnp.arange(vcap, dtype=i_f.dtype)])
+            lbls = jnp.concatenate([prev_labels, src_lbl_b]).astype(jnp.int32)
+            dists = jnp.concatenate([d_f, d_b])
+            valid = jnp.concatenate([keep_f, keep_b])
+            weights = (1.0 / (dists + 1e-6)).astype(jnp.float32)
+            win, tgt, lbl, _ = _vote_kernel(
+                targets.astype(jnp.int32), lbls, weights, valid)
+            new = jnp.zeros((vcap,), jnp.int32).at[
+                jnp.where(win, tgt, vcap)].set(
+                jnp.where(win, lbl, 0), mode="drop")
+            return new, new
+
+        init = jnp.where(vvalid[0], per["voxel_labels"][0], 0)
+        _, reassigned_tail = lax.scan(reassign_pair, init, pair_idx)
+        reassigned_vox = jnp.concatenate([init[None], reassigned_tail])  # (T, V)
+
+        # dense reassigned label volumes (t=0 copied, like the reference)
+        def scatter_frame(lbls_v, coords, valid):
+            flat = jnp.ravel_multi_index(
+                tuple(coords.T), batch.shape[1:], mode="clip")
+            flat = jnp.where(valid, flat, batch[0].size)
+            vol = jnp.zeros((batch[0].size + 1,), jnp.int32).at[flat].set(
+                jnp.where(valid, lbls_v, 0), mode="drop")
+            return vol[:-1].reshape(batch.shape[1:])
+
+        reassigned_obj = jax.vmap(scatter_frame)(
+            reassigned_vox, per["voxel_coords"], vvalid)
 
         return {
             "labels": per["labels"],
             "n_labels": per["n_labels"],
+            "n_fg": per["n_fg"],
+            "n_markers": per["n_markers"],
             "skel": per["skel"],
             "branch_labels": per["branch_labels"],
             "marker": per["marker"],
             "flow_vec": flow_vec,
             "flow_ok": flow_ok,
-            "nn_dist": nn_d,
-            "nn_idx": nn_i,
-            "hier_mean": per["hier_mean"],
-            "hier_std": per["hier_std"],
+            "flow_cost": flow_cost,
+            "reassigned_vox": reassigned_vox,
+            "reassigned_obj": reassigned_obj,
+            "vox_stats": vox_stats,
+            "hier_organelle": hier_org,
+            "hier_branch": hier_branch,
         }
 
     return step
 
 
-def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh):
+def _bucket_pow2(n: int, minimum: int) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh,
+                       adaptive_caps: bool = True):
     """Run the complete dense pipeline over a (T, *spatial) batch sharded
     (t = data parallel; z = spatial parallel for the segment phase).
-    Returns a host-side dict of numpy arrays."""
+    Returns a host-side dict of numpy arrays.
+
+    The fixed capacities (marker/voxel) are CHECKED against the true
+    per-frame counts returned by the step: on overflow a warning is
+    logged and — with ``adaptive_caps`` (default) — the step re-runs once
+    with power-of-two-grown caps, so no silent top-k truncation survives
+    in the results."""
+    from nellie_tpu.utils.base_logger import logger
+
     batch = jnp.asarray(batch, jnp.float32)
     shard_z = (mesh.shape.get("z", 1) > 1
                and batch.ndim >= 2
@@ -230,9 +399,38 @@ def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh):
     if shard_z:
         spec[1] = "z"
     in_sharding = NamedSharding(mesh, P(*spec))
-    fn = jax.jit(_build_batch_step(p, mesh, shard_z), in_shardings=in_sharding)
-    out = fn(jax.device_put(batch, in_sharding))
-    return {k: np.asarray(v) for k, v in out.items()}
+    batch_dev = jax.device_put(batch, in_sharding)
+
+    for _attempt in range(2):
+        fn = jax.jit(_build_batch_step(p, mesh, shard_z), in_shardings=in_sharding)
+        out = {k: np.asarray(v) for k, v in fn(batch_dev).items()}
+        n_fg = int(out["n_fg"].max())
+        n_mk = int(out["n_markers"].max())
+        n_lb = int(out["n_labels"].max())
+        over = []
+        if n_fg > p.voxel_cap:
+            over.append(f"voxel_cap {p.voxel_cap} < {n_fg} fg voxels")
+        if n_mk > p.marker_cap:
+            over.append(f"marker_cap {p.marker_cap} < {n_mk} markers")
+        if n_lb > p.label_cap:
+            over.append(f"label_cap {p.label_cap} < {n_lb} labels")
+        if not over:
+            return out
+        logger.warning(
+            "pipeline_step capacity overflow (%s)%s", "; ".join(over),
+            " — retrying with grown caps" if adaptive_caps and _attempt == 0
+            else " — results are top-k truncated")
+        if not adaptive_caps or _attempt == 1:
+            return out
+        from dataclasses import replace
+
+        p = replace(p,
+                    voxel_cap=_bucket_pow2(n_fg, p.voxel_cap),
+                    marker_cap=_bucket_pow2(n_mk, p.marker_cap),
+                    label_cap=_bucket_pow2(n_lb, p.label_cap),
+                    branch_cap=_bucket_pow2(
+                        int(out["branch_labels"].max()) + 1, p.branch_cap))
+    return out
 
 
 def default_step_params(spacing=(0.5, 0.2, 0.2), no_z=False,

@@ -153,6 +153,46 @@ def batched_label_kernel(frangi_b, orig_b, intensity_thr_b, frangi_thr_b,
                          thr.astype(jnp.float32))
 
 
+@partial(jax.jit, static_argnames=("sampling",))
+def batched_network_kernel(labels_b, frangi_b, sampling):
+    """Network stage over a (T, *spatial) batch: thinning, clean,
+    fill-missing, pixel classes, branch CC, object relabel — vmapped
+    per frame so the mesh 't' axis carries (file, t) frame groups
+    (VERDICT r3 #8: batch DP past segmentation)."""
+    from nellie_tpu.kernels.skeleton import skeletonize_2d, skeletonize_3d
+    from nellie_tpu.stages.networking import (
+        _add_missing_skeleton_kernel,
+        _branch_skel_labels_kernel,
+        _clean_skeleton_kernel,
+        _pixel_class_kernel,
+        _relabel_objects_kernel,
+    )
+
+    def one(lab, fr):
+        mask = lab > 0
+        skel_mask = skeletonize_2d(mask) if lab.ndim == 2 else skeletonize_3d(mask)
+        skel = jnp.where(skel_mask, lab, 0)
+        skel = _clean_skeleton_kernel(skel)
+        skel = _add_missing_skeleton_kernel(skel, lab, fr)
+        skel = jnp.where(skel > 0, lab, 0)
+        pixel_class = _pixel_class_kernel(skel)
+        branch_skel = _branch_skel_labels_kernel(pixel_class)
+        branch_labels = _relabel_objects_kernel(branch_skel, lab, sampling)
+        return jnp.where(skel > 0, branch_skel, 0), pixel_class, branch_labels
+
+    return jax.vmap(one)(labels_b, frangi_b)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def batched_markers_kernel(intensity_b, labels_b, params):
+    """Markers stage (use_im='distance') over a (T, *spatial) batch."""
+    from nellie_tpu.stages.mocap_marking import markers_frame_distance
+
+    return jax.vmap(
+        lambda i, l: markers_frame_distance(i, l > 0, params))(
+        intensity_b, labels_b)
+
+
 def sharded_vesselness(volume, params: frangi_k.FrangiParams, mesh: Mesh):
     """Multi-chip vesselness of one (Z,Y,X) frame (Z sharded)."""
     sharded = shard_volume(jnp.asarray(volume, jnp.float32), mesh)

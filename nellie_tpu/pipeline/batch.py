@@ -6,12 +6,12 @@ over files (``/root/reference/nellie/cli.py:6-13``,
 ``nellie_processor.py:323-331``). Here, when every file in the batch has
 the same canonical shape and resolutions (the same requirement the
 reference GUI imposes on folder batches, ``nellie_fileselect.py:597-610``),
-the Filter and Label stages run data-parallel across FILES: the combined
-(file, t) frame stream fills (tb = mesh t-extent)-sized groups that
-execute as one GSPMD-sharded program, exactly the BASELINE config #5
-shape (batch single-channel organelle unmixing). The remaining stages —
-which stream small per-frame structures through host artifacts — run per
-file afterwards.
+the Filter, Label, Network and Markers stages run data-parallel across
+FILES: the combined (file, t) frame stream fills (tb = mesh t-extent)-
+sized groups that execute as one GSPMD-sharded program, exactly the
+BASELINE config #5 shape (batch single-channel organelle unmixing). The
+tracking/feature stages — which stream small per-frame structures
+through host artifacts — run per file afterwards.
 """
 from __future__ import annotations
 
@@ -138,6 +138,84 @@ def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
             labels[i].instance_label_memmap.flush()
 
 
+def _network_markers_files_batched(im_infos, mesh, device):
+    """Network + Markers across files, frames grouped over the mesh 't'
+    axis — same grouped-dispatch/write-behind pattern as
+    ``_segment_files_batched`` (VERDICT r3 #8)."""
+    from nellie_tpu.mesh.sharded import (
+        batch_sharding,
+        batched_markers_kernel,
+        batched_network_kernel,
+    )
+    from nellie_tpu.utils import transfer
+
+    tb = int(mesh.shape["t"])
+
+    networks = [Network(im, device=device) for im in im_infos]
+    for n in networks:
+        n._get_t()
+        n._allocate_memory()
+    frame_shape = networks[0].label_memmap.shape[1:]
+    sharding = batch_sharding(mesh, frame_shape)
+    sampling = networks[0].scaling
+
+    work = list(_frame_stream(networks))
+    pending = None
+    for start in range(0, len(work), tb):
+        group = work[start:start + tb]
+        labels = np.stack([np.asarray(networks[i].label_memmap[t], np.int32)
+                           for i, t in group])
+        frangi = np.stack([np.asarray(networks[i].im_frangi_memmap[t], np.float32)
+                           for i, t in group])
+        if len(group) < tb:
+            pad = tb - len(group)
+            labels = np.concatenate([labels, np.repeat(labels[-1:], pad, axis=0)])
+            frangi = np.concatenate([frangi, np.repeat(frangi[-1:], pad, axis=0)])
+        skel_b, pc_b, branch_b = batched_network_kernel(
+            jax.device_put(np.ascontiguousarray(labels), sharding),
+            jax.device_put(np.ascontiguousarray(frangi), sharding), sampling)
+        preps = [(transfer.prep_label_pull(skel_b[k]), pc_b[k],
+                  transfer.prep_label_pull(branch_b[k]))
+                 for k in range(len(group))]
+        if pending is not None:
+            for (i, t), devs in zip(*pending):
+                networks[i]._write_frame(t, *devs)
+        pending = (group, preps)
+    if pending is not None:
+        for (i, t), devs in zip(*pending):
+            networks[i]._write_frame(t, *devs)
+
+    markers = [Markers(im, device=device) for im in im_infos]
+    for m in markers:
+        m._get_t()
+        m._allocate_memory()
+        m._set_default_sigmas()
+    params = markers[0]._params
+    work = list(_frame_stream(markers))
+    pending = None
+    for start in range(0, len(work), tb):
+        group = work[start:start + tb]
+        intensity = np.stack([np.asarray(markers[i].im_memmap[t])
+                              for i, t in group])
+        labels = np.stack([np.asarray(markers[i].label_memmap[t], np.int32)
+                           for i, t in group])
+        if len(group) < tb:
+            pad = tb - len(group)
+            intensity = np.concatenate([intensity, np.repeat(intensity[-1:], pad, axis=0)])
+            labels = np.concatenate([labels, np.repeat(labels[-1:], pad, axis=0)])
+        mk_b, di_b, bo_b = batched_markers_kernel(
+            jax.device_put(np.ascontiguousarray(intensity), sharding),
+            jax.device_put(np.ascontiguousarray(labels), sharding), params)
+        outs = [(mk_b[k], di_b[k], bo_b[k]) for k in range(len(group))]
+        if pending is not None:
+            for (i, t), devs in zip(*pending):
+                markers[i]._write_frame(t, *devs)
+        pending = (group, outs)
+    if pending is not None:
+        for (i, t), devs in zip(*pending):
+            markers[i]._write_frame(t, *devs)
+
+
 def run_files(file_infos, mesh=None, remove_edges=False,
               otsu_thresh_intensity=False, threshold=None,
               device="auto", low_memory=False, skip_nodes=False,
@@ -181,15 +259,16 @@ def run_files(file_infos, mesh=None, remove_edges=False,
         label_kwargs={"otsu_thresh_intensity": otsu_thresh_intensity,
                       "threshold": threshold, "device": device}))
 
+    timed("network+markers (batched)", lambda: _network_markers_files_batched(
+        im_infos, mesh, device))
+
     def per_file():
         for im_info in im_infos:
-            Network(im_info, device=device).run()
-            Markers(im_info, device=device).run()
             HuMomentTracking(im_info, device=device).run()
             VoxelReassigner(im_info, device=device).run()
             Hierarchy(im_info, skip_nodes=skip_nodes, device=device).run()
 
-    timed("per-file stages 3-7", per_file)
+    timed("per-file stages 5-7", per_file)
     if timeit:
         for name, secs in timings.items():
             print(f"Nellie Batch: {name} took {secs:.4f} seconds")

@@ -210,10 +210,11 @@ def node_features(nodes, node_radius, vox_coords, vec01, vec12, border_mask,
     border_coords = np.argwhere(border_mask)
     sp = np.asarray(spacing, float)
     if len(border_coords):
-        thick = np.empty(m)
-        bphys = border_coords * sp
-        for i in range(m):
-            thick[i] = 2.0 * np.min(np.linalg.norm(nodes[i] * sp - bphys, axis=1))
+        # cKDTree, like the reference's distance_check (hierarchical.py:1432)
+        from scipy.spatial import cKDTree
+
+        dist, _ = cKDTree(border_coords * sp).query(nodes * sp)
+        thick = 2.0 * dist
     else:
         thick = np.full(m, np.nan)
     return {
@@ -228,16 +229,39 @@ def node_features(nodes, node_radius, vox_coords, vec01, vec12, border_mask,
 # branch / region morphology
 # ---------------------------------------------------------------------------
 
+def _hull_extreme_candidates(coords):
+    """Exact hull-candidate reduction: any voxel strictly between its
+    row's min/max along the last axis is a convex combination of the two
+    extremes, so the hull of the extremes equals the hull of the set."""
+    lead, x = coords[:, :-1], coords[:, -1]
+    dims = lead.max(axis=0) + 1
+    key = np.ravel_multi_index(tuple(lead.T), tuple(dims))
+    order = np.argsort(key, kind="stable")
+    ks, xs = key[order], x[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(first)[0]
+    ends = np.append(starts[1:], len(ks))
+    mn = np.minimum.reduceat(xs, starts)
+    mx = np.maximum.reduceat(xs, starts)
+    rows = np.column_stack(np.unravel_index(ks[starts], tuple(dims)))
+    lo = np.column_stack([rows, mn])
+    hi = np.column_stack([rows, mx])
+    return np.concatenate([lo, hi[mn != mx]])
+
+
 def _solidity_delaunay(coords):
     """Voxel count / convex-image count via scipy Delaunay membership —
     independent of the product's quickhull/Qhull half-space counting."""
     from scipy.spatial import Delaunay, QhullError
 
     coords = np.asarray(coords, float)
-    if len(coords) <= coords.shape[1] + 1:
+    n_voxels = len(coords)
+    if n_voxels <= coords.shape[1] + 1:
         return 1.0
+    hull_pts = _hull_extreme_candidates(coords.astype(int)) if n_voxels > 64 else coords
     try:
-        tri = Delaunay(coords)
+        tri = Delaunay(hull_pts)
     except (QhullError, ValueError):
         return np.nan
     mins = coords.min(axis=0).astype(int)
@@ -247,7 +271,7 @@ def _solidity_delaunay(coords):
         indexing="ij"), axis=-1).reshape(-1, coords.shape[1])
     inside = tri.find_simplex(grid) >= 0
     hull_count = int(inside.sum())
-    return len(coords) / hull_count if hull_count else np.nan
+    return n_voxels / hull_count if hull_count else np.nan
 
 
 def region_morphology(label_image, spacing, compute_solidity=True):
@@ -255,11 +279,17 @@ def region_morphology(label_image, spacing, compute_solidity=True):
     (skimage regionprops definitions; hierarchical.py:1757-1804)."""
     label_image = np.asarray(label_image)
     spacing = np.asarray(spacing, float)
-    labels = np.unique(label_image[label_image > 0])
+    all_coords = np.argwhere(label_image > 0)
+    all_labels = label_image[tuple(all_coords.T)]
+    order = np.argsort(all_labels, kind="stable")
+    all_coords, all_labels = all_coords[order], all_labels[order]
+    labels = np.unique(all_labels)
+    starts = np.searchsorted(all_labels, labels)
+    ends = np.searchsorted(all_labels, labels, side="right")
     rows = {}
     vol = float(np.prod(spacing))
-    for lbl in labels:
-        coords = np.argwhere(label_image == lbl)
+    for k, lbl in enumerate(labels):
+        coords = all_coords[starts[k]:ends[k]]
         n = len(coords)
         phys = coords * spacing
         mean = phys.mean(axis=0)
@@ -304,13 +334,17 @@ def branch_stats(skel_labels, border_mask, spacing, label_branches):
         degree[dst] += same  # over all 26 offsets: same-label neighbour count
 
     border_coords = np.argwhere(border_mask) * spacing
+    tree = None
+    if len(border_coords):
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(border_coords)
     out = {}
     for lbl in labels:
         coords = np.argwhere(skel == lbl)
         deg = degree[tuple(coords.T)]
-        if len(border_coords):
-            radii = np.array([np.min(np.linalg.norm(c * spacing - border_coords, axis=1))
-                              for c in coords])
+        if tree is not None:
+            radii, _ = tree.query(coords * spacing)
         else:
             radii = np.full(len(coords), np.nan)
         length = lengths_all[int(lbl)]

@@ -1,0 +1,67 @@
+"""Capacity segmentation path (pipeline/capacity.py): device-resident
+vesselness accumulation -> on-device finalize/threshold/CC, minimal
+bytes across the link."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nellie_tpu.kernels import frangi as frangi_k
+from nellie_tpu.pipeline.capacity import segment_volume
+
+PARAMS = frangi_k.FrangiParams(sigmas=(0.75, 0.95), spacing=(0.5, 0.2, 0.2),
+                               z_ratio=2.5)
+
+
+def _tube_volume(shape=(24, 64, 64), seed=0):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0:shape[0], 0:shape[1], 0:shape[2]]
+    tube = 800.0 * np.exp(
+        -(((z - 12) ** 2) * 0.3 + (y - 32 + 6 * np.sin(x / 8.0)) ** 2 / 2)
+        / (2 * 2.0 ** 2))
+    return np.clip(tube + rng.normal(100, 5, shape), 0, 65535).astype(np.uint16)
+
+
+def test_capacity_labels_cover_tube():
+    vol = _tube_volume()
+    out = segment_volume(vol, PARAMS, min_area=4,
+                         max_chunk_voxels=16 * 64 * 64)  # forces >1 window
+    labels = out["labels"]
+    assert labels.shape == vol.shape
+    assert out["n_labels"] >= 1
+    # the thin tube segments along the central z slab; corners stay empty
+    assert int((labels[9:16] > 0).sum()) > 100
+    assert (labels[:4] > 0).sum() == 0 and (labels[-4:] > 0).sum() == 0
+    assert out["bytes_up"] > 0 and out["bytes_down"] == labels.nbytes
+
+
+def test_capacity_mask_matches_labels_fg():
+    vol = _tube_volume()
+    full = segment_volume(vol, PARAMS, min_area=4,
+                          max_chunk_voxels=16 * 64 * 64)
+    packed = segment_volume(vol, PARAMS, min_area=4, emit="mask",
+                            max_chunk_voxels=16 * 64 * 64)
+    bits = np.unpackbits(packed["mask_packed"], axis=-1).astype(bool)
+    np.testing.assert_array_equal(bits, full["labels"] > 0)
+    assert packed["fg_count"] == int((full["labels"] > 0).sum())
+    # the bit-packed product is 8x smaller than a bool mask, 16x smaller
+    # than uint16 labels
+    assert packed["bytes_down"] * 16 == full["bytes_down"]
+
+
+def test_capacity_float32_buffer_close_to_chunked_filter():
+    """With a float32 accumulation buffer the capacity path's mask must
+    agree closely with the classic chunked-Filter + Label composition
+    (window-global thresholds make both paths tiling-dependent; compare
+    foreground IoU)."""
+    from nellie_tpu.kernels.ccl import label as ccl_label
+
+    vol = _tube_volume()
+    out = segment_volume(vol, PARAMS, min_area=4, vessel_dtype=jnp.float32,
+                         max_chunk_voxels=16 * 64 * 64)
+    f16 = segment_volume(vol, PARAMS, min_area=4, vessel_dtype=jnp.float16,
+                         max_chunk_voxels=16 * 64 * 64)
+    fg32 = out["labels"] > 0
+    fg16 = f16["labels"] > 0
+    iou = (fg32 & fg16).sum() / max(1, (fg32 | fg16).sum())
+    assert iou > 0.98  # f16 quantisation moves at most boundary voxels

@@ -102,6 +102,22 @@ def test_full_pipeline_step_sharded_parity():
     assert sharded["flow_vec"].shape == single["flow_vec"].shape
     # flow matches agree (costs are z-scored floats; compare match masks)
     np.testing.assert_array_equal(sharded["flow_ok"], single["flow_ok"])
+    # voting reassignment agrees up to boundary ties: the d<max_distance
+    # radius gate sits on a continuous distance whose inputs (z-scored
+    # flow costs -> interp weights) reassociate under partitioning, so a
+    # voxel lying exactly on the radius can flip; everything else exact
+    mism = (sharded["reassigned_vox"] != single["reassigned_vox"]).mean()
+    assert mism <= 0.005, f"reassignment mismatch fraction {mism}"
+    assert int(sharded["reassigned_obj"][1:].max()) >= 1  # labels propagated
+    for key in ("vox_stats", "hier_organelle", "hier_branch"):
+        np.testing.assert_allclose(
+            np.nan_to_num(sharded[key]), np.nan_to_num(single[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key)
+        np.testing.assert_array_equal(np.isnan(sharded[key]), np.isnan(single[key]),
+                                      err_msg=f"{key} NaN pattern")
+    # adaptive caps: the tiny configured voxel_cap=256 must have grown to
+    # cover the true fg count (no silent truncation in the results)
+    assert sharded["reassigned_vox"].shape[1] >= int(sharded["n_fg"].max())
 
 
 def test_mesh_t_batched_frames_match_sequential(tmp_path):
@@ -152,11 +168,16 @@ def test_multi_file_batch_matches_sequential(tmp_path):
 
     bat_infos = run_files(bat_fis, mesh=make_mesh(8, t_axis=4))
     for s_im, b_im in zip(seq_infos, bat_infos):
-        for key in ("im_preprocessed", "im_instance_label", "im_skel_relabelled"):
+        # all four batched stages' artifacts (Filter/Label/Network/Markers)
+        for key in ("im_preprocessed", "im_instance_label", "im_skel",
+                    "im_pixel_class", "im_skel_relabelled", "im_marker",
+                    "im_distance", "im_border"):
             a = np.asarray(s_im.get_memmap(s_im.pipeline_paths[key]))
             b = np.asarray(b_im.get_memmap(b_im.pipeline_paths[key]))
             if key == "im_preprocessed":
                 np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3, err_msg=key)
+            elif key == "im_distance":
+                np.testing.assert_allclose(a, b, atol=1e-4, err_msg=key)
             else:
                 np.testing.assert_array_equal(a, b, err_msg=key)
 
@@ -227,3 +248,45 @@ def test_multi_file_batch_single_timepoint_files(tmp_path):
         a = np.asarray(s_im.get_memmap(s_im.pipeline_paths["im_instance_label"]))
         b = np.asarray(b_im.get_memmap(b_im.pipeline_paths["im_instance_label"]))
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_fused_mesh_shards_four_stages(tmp_path):
+    """run(..., mesh=) routes the fused Filter/Label/Network/Markers loop
+    through a GSPMD NamedSharding — the sharded artifacts of all FOUR
+    segmentation stages must match single-device execution (labels and
+    class images exactly; vesselness to float-reassociation tolerance)."""
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+
+    def _run(out_dir, mesh):
+        sub = tmp_path / out_dir
+        sub.mkdir()
+        fi = _make_input(sub, n_t=2)
+        im_info = ImInfo(fi)
+        FusedSegmentation(im_info, mesh=mesh).run()
+        pp = im_info.pipeline_paths
+        return {k: np.asarray(im_info.get_memmap(pp[k]))
+                for k in ("im_preprocessed", "im_instance_label", "im_skel",
+                          "im_pixel_class", "im_skel_relabelled", "im_marker",
+                          "im_distance", "im_border")}
+
+    single = _run("single", None)
+    sharded = _run("sharded", make_mesh(8, t_axis=1))  # z=8 spatial shards
+
+    np.testing.assert_allclose(sharded["im_preprocessed"], single["im_preprocessed"],
+                               atol=1e-5, rtol=1e-3)
+    # sharded float reductions reassociate -> threshold bins can shift a
+    # boundary voxel; compare discrete artifacts structurally (same
+    # pattern as test_filter_label_stages_with_mesh)
+    for key in ("im_instance_label", "im_skel", "im_pixel_class",
+                "im_skel_relabelled", "im_marker", "im_border"):
+        fg_s = single[key] > 0
+        fg_m = sharded[key] > 0
+        iou = (fg_s & fg_m).sum() / max(1, (fg_s | fg_m).sum())
+        assert iou > 0.99, f"{key}: IoU {iou}"
+    assert sharded["im_instance_label"].max() == single["im_instance_label"].max()
+    both = (single["im_instance_label"] > 0) & (sharded["im_instance_label"] > 0)
+    np.testing.assert_allclose(sharded["im_distance"][both],
+                               single["im_distance"][both], atol=1e-3)
