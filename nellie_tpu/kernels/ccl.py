@@ -35,6 +35,17 @@ from nellie_tpu.kernels.filters import shift_fill
 # 48 is the measured knee on tube geometry, with no small-mask downside
 STENCIL_HOPS_PER_ROUND = 48
 
+# On TPU, volumes whose longest axis is at most this run the fixpoints
+# HOP-ONLY (64 hops/round, no segmented scans): measured at 64x256x256
+# the six per-round associative scans cost ~11 ms each round yet leave
+# the round count unchanged (5 rounds either way) — hop-only converges
+# in 35.6 ms vs 91.6 ms with scans.  Scans still pay for themselves when
+# a single straight run can exceed what a few hop rounds cover, so
+# larger volumes keep them.  Convergence (and hence exactness) is
+# schedule-independent: the while_loop exits only at the true fixpoint.
+_HOP_ONLY_MAX_DIM = 512
+_HOP_ONLY_HOPS = 64
+
 
 def _stencil_hops() -> int:
     """Hops per scan round, by backend (read at trace time).
@@ -44,6 +55,13 @@ def _stencil_hops() -> int:
     (18 -> 6 rounds, 2.1x, at 64x256x256).  On CPU/GPU scans are cheap
     relative to dozens of full-volume sweeps, so a single hop is right."""
     return STENCIL_HOPS_PER_ROUND if jax.default_backend() in ("tpu", "axon") else 1
+
+
+def _hop_only(shape) -> bool:
+    """Trace-time choice: drop the per-round scans entirely (see
+    ``_HOP_ONLY_MAX_DIM``)."""
+    return (jax.default_backend() in ("tpu", "axon")
+            and max(shape) <= _HOP_ONLY_MAX_DIM)
 
 
 def neighbor_offsets(ndim: int, connectivity: str = "full"):
@@ -148,9 +166,10 @@ def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarr
     fg = mask
 
     value_bits = max(1, math.ceil(math.log2(n + 1)))
-    keys = _encoded_scan_keys(shape, (~fg).astype(jnp.uint32), value_bits)
+    keys = (None if _hop_only(shape) else
+            _encoded_scan_keys(shape, (~fg).astype(jnp.uint32), value_bits))
 
-    if keys is not None:
+    if keys is not None or _hop_only(shape):
         sentinel = jnp.uint32(n)
         vmask = jnp.uint32((1 << value_bits) - 1)
         lbl0 = jnp.where(fg, jnp.arange(n, dtype=jnp.uint32).reshape(shape), sentinel)
@@ -183,17 +202,21 @@ def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarr
         def stencil(p):
             return _neighbor_min(p, fg, offsets, sentinel)
 
+    hop_only = _hop_only(shape)
+    hops = _HOP_ONLY_HOPS if hop_only else _stencil_hops()
+
     def body(state):
         lbl, _ = state
         new = lbl
-        for axis in range(mask.ndim):
-            new = scan1(new, axis, False)
-            new = scan1(new, axis, True)
+        if not hop_only:
+            for axis in range(mask.ndim):
+                new = scan1(new, axis, False)
+                new = scan1(new, axis, True)
         # several cheap 1-voxel stencil hops per (expensive) scan round:
         # hops cross bends/diagonals, so extra hops cut the number of
         # scan rounds needed (measured: 18 rounds @1 hop -> 6 @32 hops,
         # 0.235 -> 0.110 s at 64x256x256; harmless for blob-like masks)
-        for _hop in range(_stencil_hops()):
+        for _hop in range(hops):
             new = stencil(new)
         return new, jnp.any(new != lbl)
 
@@ -260,20 +283,23 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
         border = border.at[tuple(sl_hi)].set(True)
 
     offsets = neighbor_offsets(ndim, "faces")
+    hop_only = _hop_only(mask.shape)
+    hops = _HOP_ONLY_HOPS if hop_only else _stencil_hops()
 
     def body(state):
         r, _ = state
         new = r
-        for axis in range(ndim):
-            new = _segmented_or_scan(new, bg, axis, False)
-            new = new | _segmented_or_scan(new, bg, axis, True)
+        if not hop_only:
+            for axis in range(ndim):
+                new = _segmented_or_scan(new, bg, axis, False)
+                new = new | _segmented_or_scan(new, bg, axis, True)
         # multi-hop dilation between scan rounds (same schedule rationale
         # as union_find_roots).  Each hop must be SYNCHRONOUS — all six
         # shifts taken from the same bg-masked base — otherwise a value
         # shifted onto a foreground voxel by one offset gets re-shifted
         # by the next, i.e. reachability tunnels diagonally through
         # foreground corners, which face connectivity forbids.
-        for _hop in range(_stencil_hops()):
+        for _hop in range(hops):
             base = new
             for off in offsets:
                 new = new | _shift_nd(base, off, False)
@@ -293,14 +319,82 @@ def component_sizes(labels_or_roots_flat: jnp.ndarray, fg_flat: jnp.ndarray) -> 
     return jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)
 
 
+# Above this many bounded hops the full scan+stencil fixpoint is cheaper.
+_SMALL_HOPS_MAX = 96
+
+
 @partial(jax.jit, static_argnames=("min_size", "connectivity"))
 def remove_small_components(
     mask: jnp.ndarray, min_size: int, connectivity: str = "full"
 ) -> jnp.ndarray:
     """Drop components with fewer than ``min_size`` voxels
-    (the reference's bincount area filter, ``labelling.py:495-501``)."""
-    roots = union_find_roots(mask, connectivity)
-    fg = mask.reshape(-1)
-    sizes = component_sizes(roots, fg)
-    keep = fg & (sizes[roots] >= min_size)
-    return keep.reshape(mask.shape)
+    (the reference's bincount area filter, ``labelling.py:495-501``).
+
+    Exact bounded-hop fast path (full connectivity): a component with
+    ``size < min_size`` has geodesic diameter <= ``min_size - 2``, so
+    ``min_size - 2`` synchronous 26/8-neighbour min hops converge every
+    small component to a single value class whose scatter-add count is
+    its exact size.  Classes of *large* components may be unconverged
+    fragments — but a fragment is a strict subset of a connected
+    component, so some member has a foreground neighbour with a
+    different value: a box-min != box-max test over the 3^ndim
+    neighbourhood (any fg voxel in the box is 26/8-adjacent, i.e.
+    same-component) flags exactly the unconverged classes, which are
+    kept unconditionally.  Complete components (no differing neighbour
+    anywhere) are filtered by their exact size.  This replaces the
+    global min-index fixpoint (~6 rounds of scans+hops) with
+    ``min_size - 2`` hops + one separable box min/max + two scatters.
+    """
+    if min_size <= 1:
+        return mask
+    hops = max(min_size - 2, 0)
+    if connectivity != "full" or hops > _SMALL_HOPS_MAX:
+        roots = union_find_roots(mask, connectivity)
+        fg = mask.reshape(-1)
+        sizes = component_sizes(roots, fg)
+        keep = fg & (sizes[roots] >= min_size)
+        return keep.reshape(mask.shape)
+
+    shape = mask.shape
+    n = int(np.prod(shape))
+    fg = mask
+    sentinel = jnp.uint32(n)
+    vals = jnp.where(fg, jnp.arange(n, dtype=jnp.uint32).reshape(shape), sentinel)
+
+    def hop(p):
+        # separable 3^ndim box min == 26/8-neighbour min (see the
+        # union_find_roots stencil comment); re-masking keeps multi-hop
+        # propagation on foreground paths only
+        m = jnp.where(fg, p, sentinel)
+        for axis in range(mask.ndim):
+            m = jnp.minimum(m, jnp.minimum(shift_fill(m, axis, 1, sentinel),
+                                           shift_fill(m, axis, -1, sentinel)))
+        return jnp.where(fg, m, sentinel)
+
+    for _ in range(hops):
+        vals = hop(vals)
+
+    # box min/max of the fg-masked values WITHOUT re-masking between the
+    # separable axis passes: the result at a fg voxel is the min/max over
+    # all fg values in its 3^ndim box — every one of which is a
+    # same-component neighbour — so min != max <=> an adjacent member
+    # holds a different value <=> this class is an unconverged fragment.
+    mn = jnp.where(fg, vals, sentinel)
+    mx = jnp.where(fg, vals, jnp.uint32(0))
+    for axis in range(mask.ndim):
+        mn = jnp.minimum(mn, jnp.minimum(shift_fill(mn, axis, 1, sentinel),
+                                         shift_fill(mn, axis, -1, sentinel)))
+        mx = jnp.maximum(mx, jnp.maximum(shift_fill(mx, axis, 1, jnp.uint32(0)),
+                                         shift_fill(mx, axis, -1, jnp.uint32(0))))
+    boundary = (fg & (mn != mx)).reshape(-1)
+
+    # one scatter + one gather decide keep: ordinary members weigh 1,
+    # boundary members weigh min_size, so a class sum >= min_size <=>
+    # (exact size >= min_size) OR (class is an unconverged fragment) —
+    # scatter/gather on the tunnel-measured TPU cost ~65 ms each at 4.2M,
+    # twice the fixpoint round they replace, so fold both tests into one.
+    flat = jnp.where(fg, vals, sentinel).reshape(-1)
+    w = jnp.where(boundary, jnp.int32(min_size), jnp.int32(1))
+    sizes = jnp.zeros((n + 1,), jnp.int32).at[flat].add(w)
+    keep = fg.reshape(-1) & (sizes[flat] >= min_size)
+    return keep.reshape(shape)

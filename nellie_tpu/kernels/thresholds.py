@@ -30,7 +30,11 @@ def _masked_histogram(values: jnp.ndarray, mask: jnp.ndarray, nbins: int):
     safe_span = jnp.where(span > 0, span, 1.0)
     idx = jnp.floor((flat - lo) / safe_span * nbins).astype(jnp.int32)
     idx = jnp.clip(idx, 0, nbins - 1)
-    counts = jnp.zeros((nbins,), jnp.float32).at[idx].add(jnp.where(mflat, 1.0, 0.0))
+    # broadcast-compare + column reduce instead of a 256-bin scatter-add:
+    # TPUs serialize scatters but chew through the (N, nbins) compare+sum
+    # as fused vector loops (the one-hot never materialises in HBM)
+    onehot = (idx[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :])
+    counts = jnp.sum(onehot & mflat[:, None], axis=0).astype(jnp.float32)
     edges_lo = lo + jnp.arange(nbins, dtype=jnp.float32) * (span / nbins)
     centers = edges_lo + span / (2 * nbins)
     return counts, centers, any_valid

@@ -76,6 +76,48 @@ def test_remove_small_components(rng):
     assert out[10:18, 10:18].all()
 
 
+@pytest.mark.parametrize("min_size", [2, 3, 4, 10])
+def test_remove_small_matches_scipy_random_3d(rng, min_size):
+    """Bounded-hop fast path == scipy bincount area filter, exact, on
+    random clumpy 3D masks (mixture of sizes around the threshold)."""
+    mask = ndi.binary_dilation(rng.random((14, 30, 30)) > 0.93)
+    ours = np.asarray(ccl.remove_small_components(jnp.asarray(mask), min_size))
+    labels, _ = ndi.label(mask, structure=np.ones((3, 3, 3)))
+    sizes = np.bincount(labels.ravel())
+    sizes[0] = 0
+    ref = (sizes >= min_size)[labels]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_remove_small_matches_scipy_random_2d(rng):
+    mask = rng.random((64, 64)) > 0.75
+    ours = np.asarray(ccl.remove_small_components(jnp.asarray(mask), 5))
+    labels, _ = ndi.label(mask, structure=np.ones((3, 3)))
+    sizes = np.bincount(labels.ravel())
+    sizes[0] = 0
+    ref = (sizes >= 5)[labels]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_remove_small_fallback_paths(rng):
+    """faces connectivity and min_size past the hop budget take the full
+    union-find path; answers must agree with scipy either way."""
+    mask = ndi.binary_dilation(rng.random((10, 24, 24)) > 0.9)
+    out_faces = np.asarray(
+        ccl.remove_small_components(jnp.asarray(mask), 4, connectivity="faces"))
+    labels, _ = ndi.label(mask)  # default cross structure = faces
+    sizes = np.bincount(labels.ravel())
+    sizes[0] = 0
+    np.testing.assert_array_equal(out_faces, (sizes >= 4)[labels])
+
+    big = ccl._SMALL_HOPS_MAX + 3
+    out_big = np.asarray(ccl.remove_small_components(jnp.asarray(mask), big))
+    labels_f, _ = ndi.label(mask, structure=np.ones((3, 3, 3)))
+    sizes_f = np.bincount(labels_f.ravel())
+    sizes_f[0] = 0
+    np.testing.assert_array_equal(out_big, (sizes_f >= big)[labels_f])
+
+
 def test_union_find_pair_monoid_fallback(monkeypatch):
     """Volumes too large for the uint32 run-id encoding fall back to the
     (reset, value) pair monoid — force that path and check parity."""
