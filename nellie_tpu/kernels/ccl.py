@@ -386,15 +386,72 @@ def remove_small_components(
                                          shift_fill(mn, axis, -1, sentinel)))
         mx = jnp.maximum(mx, jnp.maximum(shift_fill(mx, axis, 1, jnp.uint32(0)),
                                          shift_fill(mx, axis, -1, jnp.uint32(0))))
-    boundary = (fg & (mn != mx)).reshape(-1)
+    boundary = fg & (mn != mx)
 
-    # one scatter + one gather decide keep: ordinary members weigh 1,
-    # boundary members weigh min_size, so a class sum >= min_size <=>
-    # (exact size >= min_size) OR (class is an unconverged fragment) —
-    # scatter/gather on the tunnel-measured TPU cost ~65 ms each at 4.2M,
-    # twice the fixpoint round they replace, so fold both tests into one.
+    # Class sums decide keep: ordinary members weigh 1, boundary members
+    # weigh min_size, so sum >= min_size <=> (exact size >= min_size) OR
+    # (class is an unconverged fragment) — both tests in one reduction.
+    #
+    # The reduction itself: every voxel's value is the index of a voxel
+    # within Chebyshev distance ``hops`` (each hop is one Chebyshev
+    # step), so the class-sum scatter and the per-voxel gather are
+    # spatially LOCAL and can run as (2*hops+1)^ndim-tap stencils over
+    # the relative field rel = val - idx — element ops only, which TPUs
+    # vectorise, instead of scatter/gather, which they serialise
+    # (measured ~65 ms each at 4.2M voxels).  Falls back to the scatter
+    # form when the tap count gets large.
+    if (2 * hops + 1) ** mask.ndim <= 135:
+        return _remove_small_local(mask, vals, boundary, min_size, hops)
+
     flat = jnp.where(fg, vals, sentinel).reshape(-1)
-    w = jnp.where(boundary, jnp.int32(min_size), jnp.int32(1))
+    w = jnp.where(boundary.reshape(-1), jnp.int32(min_size), jnp.int32(1))
     sizes = jnp.zeros((n + 1,), jnp.int32).at[flat].add(w)
     keep = fg.reshape(-1) & (sizes[flat] >= min_size)
     return keep.reshape(shape)
+
+
+def _remove_small_local(mask, vals, boundary, min_size: int, hops: int):
+    """Stencil form of the weighted class-sum + root lookup (see caller).
+
+    ``S(w) = sum_d weight(w+d) * [val(w+d) == idx(w)]`` over offsets d
+    with |d|_cheb <= hops gives the exact weighted class sum at each
+    root position; ``keep(v) = OR_d (rel(v) == delta_d) & (S(v+d) >=
+    min_size)`` looks the verdict up at v's root.  Weights are packed
+    into the low bit of ``enc = 2*(val - idx) + is_boundary`` so each
+    tap shifts ONE array and compares against a constant."""
+    import itertools
+
+    shape = mask.shape
+    ndim = mask.ndim
+    fg = mask
+    strides = tuple(int(np.prod(shape[a + 1:])) for a in range(ndim))
+    BIG = jnp.int32(1 << 30)
+
+    idx = jnp.arange(int(np.prod(shape)), dtype=jnp.int32).reshape(shape)
+    rel = vals.astype(jnp.int32) - idx
+    enc = jnp.where(fg, 2 * rel + boundary.astype(jnp.int32), BIG)
+
+    offsets = list(itertools.product(range(-hops, hops + 1), repeat=ndim))
+
+    def shifted(arr, d, fill):
+        out = arr
+        for axis, o in enumerate(d):
+            if o:
+                out = shift_fill(out, axis, o, fill)
+        return out
+
+    S = jnp.zeros(shape, jnp.int32)
+    for d in offsets:
+        delta = sum(o * s for o, s in zip(d, strides))
+        t = shifted(enc, d, BIG) + jnp.int32(2 * delta)
+        # t == 0: ordinary member of this root's class (weight 1);
+        # t == 1: boundary member (weight min_size)
+        S = S + jnp.where(
+            (t == 0) | (t == 1), 1 + t * jnp.int32(min_size - 1), 0)
+
+    K = S >= min_size
+    keep = jnp.zeros(shape, bool)
+    for d in offsets:
+        delta = sum(o * s for o, s in zip(d, strides))
+        keep = keep | ((rel == delta) & shifted(K, d, False))
+    return fg & keep

@@ -30,21 +30,51 @@ def _masked_histogram(values: jnp.ndarray, mask: jnp.ndarray, nbins: int):
     safe_span = jnp.where(span > 0, span, 1.0)
     idx = jnp.floor((flat - lo) / safe_span * nbins).astype(jnp.int32)
     idx = jnp.clip(idx, 0, nbins - 1)
-    # broadcast-compare + column reduce instead of a 256-bin scatter-add:
-    # TPUs serialize scatters but chew through the (N, nbins) compare+sum
-    # as fused vector loops (the one-hot never materialises in HBM)
-    onehot = (idx[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :])
-    counts = jnp.sum(onehot & mflat[:, None], axis=0).astype(jnp.float32)
+    idx = jnp.where(mflat, idx, nbins)  # masked-out -> overflow bin
+    counts = _bincount_tiled(idx, nbins)
     edges_lo = lo + jnp.arange(nbins, dtype=jnp.float32) * (span / nbins)
     centers = edges_lo + span / (2 * nbins)
     return counts, centers, any_valid
+
+
+def _bincount_tiled(idx: jnp.ndarray, nbins: int) -> jnp.ndarray:
+    """Histogram counts via tiled broadcast-compare + reduce.
+
+    TPUs serialize scatter-adds, so the 256-bin scatter is recast as
+    one-hot compare + column sum; tiling through lax.scan keeps each
+    (tile, nbins) one-hot small enough to stay on-chip instead of
+    materialising an (N, nbins) intermediate in HBM.  Values equal to
+    ``nbins`` (the overflow bin) are dropped."""
+    from jax import lax
+
+    n = idx.shape[0]
+    tile = 16384
+    if n <= tile:
+        onehot = idx[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
+        return jnp.sum(onehot, axis=0).astype(jnp.float32)
+    pad = (-n) % tile
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), nbins, idx.dtype)])
+    tiles = idx.reshape(-1, tile)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+
+    def body(acc, chunk):
+        oh = chunk[:, None] == bins[None, :]
+        return acc + jnp.sum(oh, axis=0, dtype=jnp.int32), None
+
+    counts, _ = lax.scan(body, jnp.zeros((nbins,), jnp.int32), tiles)
+    return counts.astype(jnp.float32)
 
 
 def otsu_threshold(values: jnp.ndarray, mask: jnp.ndarray | None = None, nbins: int = 256):
     """Otsu's threshold of values[mask]. Returns (threshold, criterion)."""
     if mask is None:
         mask = jnp.ones(values.shape, dtype=bool)
-    counts, centers, any_valid = _masked_histogram(values, mask, nbins)
+    return _otsu_from_hist(*_masked_histogram(values, mask, nbins))
+
+
+def _otsu_from_hist(counts, centers, any_valid):
+    nbins = counts.shape[0]
     total = jnp.sum(counts)
     p = counts / jnp.maximum(total, 1.0)
 
@@ -64,7 +94,11 @@ def triangle_threshold(values: jnp.ndarray, mask: jnp.ndarray | None = None, nbi
     """Triangle threshold of values[mask]."""
     if mask is None:
         mask = jnp.ones(values.shape, dtype=bool)
-    counts, centers, any_valid = _masked_histogram(values, mask, nbins)
+    return _triangle_from_hist(*_masked_histogram(values, mask, nbins))
+
+
+def _triangle_from_hist(counts, centers, any_valid):
+    nbins = counts.shape[0]
     hist = counts / jnp.maximum(jnp.sum(counts), 1.0)
 
     arg_peak = jnp.argmax(hist)
@@ -98,9 +132,13 @@ def triangle_threshold(values: jnp.ndarray, mask: jnp.ndarray | None = None, nbi
 
 def min_triangle_otsu(values: jnp.ndarray, mask: jnp.ndarray | None = None, nbins: int = 256):
     """min(triangle, otsu) — the reference's combined auto-threshold
-    (``filtering.py:374-376``, ``labelling.py:449-455``)."""
-    tri = triangle_threshold(values, mask, nbins)
-    ots, _ = otsu_threshold(values, mask, nbins)
+    (``filtering.py:374-376``, ``labelling.py:449-455``).  One shared
+    histogram feeds both decision rules."""
+    if mask is None:
+        mask = jnp.ones(values.shape, dtype=bool)
+    hist = _masked_histogram(values, mask, nbins)
+    tri = _triangle_from_hist(*hist)
+    ots, _ = _otsu_from_hist(*hist)
     return jnp.minimum(tri, ots)
 
 
