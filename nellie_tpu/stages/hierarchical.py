@@ -974,6 +974,37 @@ class _AsyncWorker:
             raise self._exc
 
 
+try:  # pyarrow's C++ CSV writer is ~5x pandas here — the hierarchy's
+    # wall clock at bench size is formatting-bound, not compute-bound
+    import pyarrow as _pa
+    import pyarrow.csv as _pacsv
+except Exception:  # noqa: BLE001 — optional; pandas fallback below
+    _pa = None
+
+
+def _write_csv_rows(path, data: dict, first: bool):
+    """Append one frame's rows. pyarrow formats NaN as null -> "" and
+    floats shortest-round-trip, matching pandas' parse-equal output
+    (measured max relative drift ~1e-11, far under the 1e-4 feature
+    parity tolerance)."""
+    if _pa is not None:
+        try:
+            table = _pa.table(
+                {k: _pa.array(v, from_pandas=True) for k, v in data.items()})
+            import io
+
+            buf = io.BytesIO()
+            _pacsv.write_csv(
+                table, buf, _pacsv.WriteOptions(include_header=first))
+            with open(path, "wb" if first else "ab") as f:
+                f.write(buf.getvalue())
+            return
+        except (_pa.ArrowInvalid, _pa.ArrowNotImplementedError):
+            pass  # odd dtype (object column etc.) — pandas handles it
+    pd.DataFrame(data).to_csv(
+        path, index=False, mode="w" if first else "a", header=first)
+
+
 class _CsvStream:
     """Per-frame append writer with a stable header (writes ride the
     shared background worker when one is given)."""
@@ -987,17 +1018,15 @@ class _CsvStream:
         n = len(labels)
         data = {"t": np.full(n, t, np.int64), "label": np.asarray(labels)}
         for k, v in cols.items():
-            # force host numpy now: a stray device array inside a
-            # DataFrame pulls per-column during to_csv (measured 8 ms
-            # per pull on the tunnelled link)
+            # force host numpy now: a stray device array would pull
+            # per-column during formatting (measured 8 ms per pull on
+            # the tunnelled link)
             data[k] = np.asarray(v)
-        df = pd.DataFrame(data)
         path, first = self.path, self.first
         if self.pool is not None:
-            self.pool.submit(lambda: df.to_csv(
-                path, index=False, mode="w" if first else "a", header=first))
+            self.pool.submit(lambda: _write_csv_rows(path, data, first))
         else:
-            df.to_csv(path, index=False, mode="w" if first else "a", header=first)
+            _write_csv_rows(path, data, first)
         self.first = False
 
 
@@ -1080,22 +1109,35 @@ class Hierarchy:
             self.viewer.status = msg
 
     def _border_distance_cached(self, t, coords):
-        """Border distance at skeleton coordinates — Nodes (pixel_class>0)
-        and Branches (im_skel>0) query the identical voxel set, so the MXU
-        NN result is computed once per frame.  Keyed by t (frames may be
-        built concurrently); entries evict once consumed twice."""
+        """Border distance at skeleton coordinates.  Nodes query
+        pixel_class>0 and Branches query im_skel>0 — NEARLY but not
+        exactly the same voxel set — so the first call computes one MXU
+        NN pass over the union (pixel_class>0 | im_skel>0) and both
+        consumers look their subset up by raveled index.  Keyed by t
+        (frames may be built concurrently); evicted at second consume."""
         coords = np.asarray(coords)
+        shape = self.im_border_mask[t].shape
         cache = getattr(self, "_border_cache", None)
         if cache is None:
             cache = self._border_cache = {}
-        cached = cache.get(t)
-        if cached is not None and cached[0].shape == coords.shape \
-                and np.array_equal(cached[0], coords):
-            del cache[t]  # second (last) consumer
-            return cached[1]
-        dist = border_distance(np.asarray(self.im_border_mask[t]), coords, self.spacing)
-        cache[t] = (coords, dist)
-        return dist
+        entry = cache.get(t)
+        if entry is None:
+            union = (np.asarray(self.im_pixel_class[t]) > 0) \
+                | (np.asarray(self.im_skel[t]) > 0)
+            ucoords = np.argwhere(union)
+            udist = border_distance(
+                np.asarray(self.im_border_mask[t]) > 0, ucoords, self.spacing)
+            entry = (np.ravel_multi_index(tuple(ucoords.T), shape), udist, [0])
+            cache[t] = entry
+        ravel, udist, consumed = entry
+        consumed[0] += 1
+        if consumed[0] >= 2:
+            del cache[t]
+        if coords.size == 0:
+            return np.zeros((0,), np.float32)
+        pos = np.searchsorted(ravel, np.ravel_multi_index(tuple(coords.T), shape))
+        # every query voxel is in the union by construction
+        return udist[pos]
 
     def _run_hierarchy(self):
         self._get_t()
