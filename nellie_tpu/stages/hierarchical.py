@@ -344,21 +344,57 @@ def _node_agg_scan_kernel(lims_lo, lims_hi, node_coords, coords_chunks,
     return node_sums, stat_sums
 
 
-@jax.jit
-def _membership_mask_packed_kernel(lims_lo, lims_hi, coords_chunks):
-    """Bit-packed (M, chunk/8) membership masks for every chunk — the
-    adjacency pair lists are recovered on HOST (np.unpackbits + nonzero)
-    on a background thread, so neither the device-side nonzero (~550 ms
-    per 50M mask) nor the pull sits on the frame critical path."""
-    weights = (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8)))
-
-    def body(carry, cc):
-        mask = _box_membership_kernel(lims_lo, lims_hi, cc)
-        m8 = mask.reshape(mask.shape[0], -1, 8).astype(jnp.uint8)
-        return carry, jnp.sum(m8 * weights[None, None, :], axis=-1).astype(jnp.uint8)
-
-    _, packed = jax.lax.scan(body, 0, coords_chunks)
-    return packed  # (K, M, chunk // 8)
+def _host_box_pairs(lo, hi, coords, shape):
+    """(pair_node, pair_vox) where ``lo[n] <= coords[v] <= hi[n]`` per
+    dim — pure-numpy range queries, zero device traffic.  ``coords``
+    from :func:`np.argwhere` is lexicographically sorted, so the raveled
+    key is ascending and every node box decomposes into contiguous key
+    segments per leading-dims row, found with two vectorized
+    ``searchsorted`` calls.  Replaces the round-2 bit-packed device mask
+    (a ~20 MB pull + unpackbits per bench frame)."""
+    lo = np.asarray(lo, np.int64)
+    hi = np.asarray(hi, np.int64)
+    coords = np.asarray(coords, np.int64)
+    m, d = lo.shape
+    empty = np.zeros(0, np.int32), np.zeros(0, np.int32)
+    if m == 0 or len(coords) == 0:
+        return empty
+    dims = np.asarray(shape, np.int64)
+    gkey = np.ravel_multi_index(tuple(coords.T), tuple(dims))
+    if np.any(np.diff(gkey) < 0):  # defensive: argwhere order is sorted
+        order = np.argsort(gkey, kind="stable")
+        gkey = gkey[order]
+    else:
+        order = None
+    hi_c = np.minimum(hi, dims[None, :] - 1)
+    # expand each node over its leading-dims grid (all dims except last)
+    ext = np.clip(hi_c[:, :-1] - lo[:, :-1] + 1, 0, None)  # (m, d-1)
+    rows_per_node = np.prod(ext, axis=1)
+    total = int(rows_per_node.sum())
+    if total == 0:
+        return empty
+    node_rep = np.repeat(np.arange(m), rows_per_node)
+    offs = np.zeros(m + 1, np.int64)
+    np.cumsum(rows_per_node, out=offs[1:])
+    r = np.arange(total) - offs[node_rep]  # row index within node grid
+    base = np.zeros(total, np.int64)  # raveled key of (leading dims, x=0)
+    for dim in range(d - 2, -1, -1):
+        e = ext[node_rep, dim]
+        base += (lo[node_rep, dim] + r % e) * np.prod(dims[dim + 1:])
+        r //= e
+    a = np.searchsorted(gkey, base + lo[node_rep, -1], "left")
+    b = np.searchsorted(gkey, base + hi_c[node_rep, -1], "right")
+    cnt = np.maximum(b - a, 0)
+    tp = int(cnt.sum())
+    if tp == 0:
+        return empty
+    row_rep = np.repeat(np.arange(total), cnt)
+    starts = np.zeros(total + 1, np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    pair_vox = (np.arange(tp) - starts[row_rep] + a[row_rep])
+    if order is not None:
+        pair_vox = order[pair_vox]
+    return node_rep[row_rep].astype(np.int32), pair_vox.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -510,10 +546,10 @@ class _NodeLevel:
     All membership-weighted statistics reduce ON DEVICE in one program
     (:func:`_node_agg_scan_kernel`) — only (stat, node) results are
     pulled.  The (node, voxel) pair lists themselves are needed only for
-    the ``adjacency_maps`` artifact; they are recovered from a
-    bit-packed mask pull on the hierarchy's background worker, off the
-    frame critical path.  Tiny frames (mask < ~4M elements) use a dense
-    numpy path — it doubles as the cross-implementation oracle."""
+    the ``adjacency_maps`` artifact; they are computed entirely on host
+    (:func:`_host_box_pairs`) on the hierarchy's background worker, off
+    the frame critical path.  Tiny frames (mask < ~4M elements) use a
+    dense numpy path — it doubles as the cross-implementation oracle."""
 
     # below this many mask elements a host dense mask beats a dispatch
     HOST_CUTOVER_MASK = 1 << 22
@@ -529,7 +565,7 @@ class _NodeLevel:
 
         # radius boxes from the distance image at each skeleton voxel
         radius = np.asarray(h.im_distance[t])[at].astype(np.float64)
-        shape = pixel_class.shape
+        shape = self._frame_shape = pixel_class.shape
         lo = np.empty((m, len(shape)), np.int32)
         hi = np.empty((m, len(shape)), np.int32)
         for dim in range(len(shape)):
@@ -656,11 +692,10 @@ class _NodeLevel:
             jnp.asarray(vec01_chunks), jnp.asarray(vec12_chunks),
             jnp.asarray(stats_chunks))
 
-        # adjacency pairs: bit-packed mask, extracted on the background
-        # worker (device pull + unpackbits + nonzero off the hot path)
+        # adjacency pairs: pure-host searchsorted range queries over the
+        # already-host coords (background worker; zero device traffic)
         if getattr(h, "_vn_results", None) is not None:
-            packed = _membership_mask_packed_kernel(lo_d, hi_d, chunks_d)
-            self._submit_packed_pairs(h, packed, m, chunk, c_total)
+            self._submit_host_pairs(h, lo, hi, vox.coords)
 
         node_sums = np.asarray(node_sums, np.float64)[:, :m]
         stat_sums = np.asarray(stat_sums, np.float64)[:, :, :m]
@@ -684,21 +719,12 @@ class _NodeLevel:
             }
         return conv, div, coord_means, vox_agg
 
-    def _submit_packed_pairs(self, h, packed, m, chunk, c_total):
+    def _submit_host_pairs(self, h, lo, hi, coords):
         pool = getattr(h, "_pool", None)
+        shape = self._frame_shape
 
         def job():
-            p = np.asarray(packed)  # (K, mb, chunk // 8) — pull happens here
-            bits = np.unpackbits(p, axis=-1)  # (K, mb, chunk)
-            pn, pv = [], []
-            for k in range(bits.shape[0]):
-                r, c = np.nonzero(bits[k, :m, :])
-                g = k * chunk + c
-                keep = g < c_total
-                pn.append(r[keep].astype(np.int32))
-                pv.append(g[keep].astype(np.int32))
-            pair_node = np.concatenate(pn) if pn else np.zeros(0, np.int32)
-            pair_vox = np.concatenate(pv) if pv else np.zeros(0, np.int32)
+            pair_node, pair_vox = _host_box_pairs(lo, hi, coords, shape)
             self._submit_pairs(h, pair_node, pair_vox)
 
         if pool is not None:
@@ -935,9 +961,8 @@ def _image_columns(vox, nodes, branches, components, skip_nodes: bool) -> dict:
 class _AsyncWorker:
     """One background thread draining callables in FIFO order.
 
-    Frame t's host-side finalisation work — pandas CSV formatting
-    (~1.8 s/frame at bench size) and adjacency pair extraction (device
-    pull + unpackbits + nonzero) — runs here, overlapping frame t+1's
+    Frame t's host-side finalisation work — CSV formatting and
+    adjacency pair extraction (_host_box_pairs) — runs here, overlapping frame t+1's
     device compute.  A single thread keeps append order; the first
     exception re-raises at :meth:`close`."""
 
@@ -1163,7 +1188,7 @@ class Hierarchy:
 
         adjacency = {"v_b": [], "v_n": [], "v_o": [], "n_b": [], "n_o": [], "b_o": []}
         # v_n pair lists are produced by _NodeLevel through the background
-        # worker (bit-packed mask extraction off the frame critical path);
+        # worker (host searchsorted range queries, off the critical path);
         # keyed by t and reassembled in order below
         self._pool = pool
         self._interp_lock = threading.Lock()

@@ -239,3 +239,40 @@ def test_node_device_aggregate_matches_host_oracle(rng):
         np.testing.assert_allclose(np.asarray(host[3][k], float),
                                    np.asarray(dev[3][k], float),
                                    rtol=3e-5, atol=1e-4, err_msg=k)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_host_box_pairs_matches_dense_mask(rng, d):
+    """_host_box_pairs (searchsorted range queries over argwhere-ordered
+    coords) == the dense inclusive box mask, for sorted and unsorted
+    coordinate order, 2D and 3D."""
+    from nellie_tpu.stages.hierarchical import _host_box_pairs
+
+    shape = (24,) * d
+    vol = rng.random(shape) < 0.2
+    coords = np.argwhere(vol)  # lexicographically sorted
+    m = 50
+    nodes = rng.integers(0, 24, (m, d))
+    radius = rng.integers(0, 4, (m, 1))
+    lo = np.clip(nodes - radius, 0, np.array(shape)).astype(np.int32)
+    hi = np.clip(nodes + radius + 1, 0, np.array(shape)).astype(np.int32)
+
+    def dense(cs):
+        mask = np.logical_and.reduce(
+            [(lo[:, None, k] <= cs[None, :, k]) & (cs[None, :, k] <= hi[:, None, k])
+             for k in range(d)])
+        return set(zip(*(a.tolist() for a in np.nonzero(mask))))
+
+    pn, pv = _host_box_pairs(lo, hi, coords, shape)
+    assert set(zip(pn.tolist(), pv.tolist())) == dense(coords)
+
+    # unsorted coords exercise the argsort fallback
+    perm = rng.permutation(len(coords))
+    pn2, pv2 = _host_box_pairs(lo, hi, coords[perm], shape)
+    assert set(zip(pn2.tolist(), pv2.tolist())) == dense(coords[perm])
+
+    # empty inputs
+    pn3, pv3 = _host_box_pairs(lo[:0], hi[:0], coords, shape)
+    assert len(pn3) == 0 and len(pv3) == 0
+    pn4, pv4 = _host_box_pairs(lo, hi, coords[:0], shape)
+    assert len(pn4) == 0 and len(pv4) == 0
