@@ -92,7 +92,10 @@ def run(
             seg = FusedSegmentation(
                 im_info, remove_edges=remove_edges,
                 otsu_thresh_intensity=otsu_thresh_intensity,
-                threshold=threshold, device=device, mesh=mesh)
+                threshold=threshold, device=device, mesh=mesh,
+                # tracking follows in this process: leave raw/frangi/
+                # distance device arrays in HBM for it (device_cache)
+                cache_frames=not im_info.no_t)
             start = time.perf_counter()
             try:
                 seg.run()

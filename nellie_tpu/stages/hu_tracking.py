@@ -166,9 +166,19 @@ class HuMomentTracking:
 
     # -- per-frame features ---------------------------------------------------
     def _get_frame_features(self, t) -> _FrameFeatures:
-        intensity = np.ascontiguousarray(self.im_memmap[t])
-        frangi = np.ascontiguousarray(self.im_frangi_memmap[t])
-        distance = np.ascontiguousarray(self.im_distance_memmap[t])
+        # device-resident handoff: when the fused segmentation loop ran
+        # in this process its raw/frangi/distance device arrays are
+        # still in HBM (utils/device_cache.py) — skip the ~50 MB/frame
+        # re-upload the reference's disk handoff implies
+        # (/root/reference/nellie/run.py:56-115)
+        cache = None
+        if getattr(self, "_use_frame_cache", False):
+            from nellie_tpu.utils.device_cache import frame_cache
+            cache = frame_cache(self.im_info)
+        raw_dev = cache.take("im", t) if cache is not None else None
+        frangi_dev = cache.take("im_preprocessed", t) if cache is not None else None
+        distance_dev = cache.take("im_distance", t) if cache is not None else None
+
         marker = np.ascontiguousarray(self.im_marker_memmap[t]) > 0
 
         dims = 2 if self.im_info.no_z else 3
@@ -180,7 +190,11 @@ class HuMomentTracking:
                 np.zeros((0, 6 if self.im_info.no_z else 18), np.float32),
             )
 
-        frangi_norm, dil_dist = _prep_frame_kernel(jnp.asarray(frangi), jnp.asarray(distance))
+        if frangi_dev is None:
+            frangi_dev = jnp.asarray(np.ascontiguousarray(self.im_frangi_memmap[t]))
+        if distance_dev is None:
+            distance_dev = jnp.asarray(np.ascontiguousarray(self.im_distance_memmap[t]))
+        frangi_norm, dil_dist = _prep_frame_kernel(frangi_dev, distance_dev)
         # gather marker radii on device: pulls n floats instead of the
         # whole dilated-distance frame
         nb = _next_multiple(coords.shape[0], 1024)
@@ -191,7 +205,11 @@ class HuMomentTracking:
         r = _next_multiple(max(max_radius, 3), 4)
 
         pad = [(r, r)] * dims
-        intensity_pad = jnp.asarray(np.pad(intensity.astype(np.float32), pad))
+        if raw_dev is not None:
+            intensity_pad = jnp.pad(raw_dev.astype(jnp.float32), pad)
+        else:
+            intensity = np.ascontiguousarray(self.im_memmap[t])
+            intensity_pad = jnp.asarray(np.pad(intensity.astype(np.float32), pad))
         frangi_pad = jnp.pad(frangi_norm, pad)
 
         n = coords.shape[0]
@@ -293,6 +311,9 @@ class HuMomentTracking:
 
         def attempt(dev, low):
             self.low_memory = low
+            # the cached arrays are committed to the accelerator; on the
+            # CPU/low-memory ladder rungs fall back to memmap uploads
+            self._use_frame_cache = dev == "accel" and not low
             self._get_t()
             self._allocate_memory()
             self._run_hu_tracking()

@@ -39,7 +39,11 @@ def prep_label_pull(dev_arr):
 
 
 def finish_label_pull(prep, out_dtype) -> np.ndarray:
-    """Pull the narrow copy when the values fit, else the full one."""
+    """Pull the narrow copy when the values fit, else the full one.
+    Already-materialised arrays pass through (the fused path hands the
+    stage writers dense host arrays)."""
+    if not isinstance(prep, dict):
+        return np.asarray(prep, out_dtype)
     if "narrow" in prep:
         try:
             mn, mx = (int(v) for v in np.asarray(prep["bounds"]))
@@ -48,3 +52,54 @@ def finish_label_pull(prep, out_dtype) -> np.ndarray:
         except Exception:  # noqa: BLE001 — fall through to the plain pull
             pass
     return np.asarray(prep["full"], out_dtype)
+
+
+# --------------------------------------------------------------------------
+# Foreground-sparse pulls
+# --------------------------------------------------------------------------
+# Pipeline intermediates are overwhelmingly background (measured 0.01-1.6%
+# foreground at bench size): pulling a bit-packed support mask plus the
+# compacted foreground values moves ~10x fewer bytes than the dense frame.
+# Lossless — the host scatter reconstructs the exact dense array, and a
+# capacity overflow falls back to the dense pull.
+
+SPARSE_CAP_DIV = 16  # capacity = size/16 (6.25% fg; measured max 1.6%)
+
+
+def sparse_prep(arr, values: bool = True, cap_div: int = SPARSE_CAP_DIV):
+    """Traced-side sparse-pull prep — call INSIDE one jitted program so
+    the whole frame's preps ride a single dispatch.
+
+    ``values=False`` for 0/1 masks: the packed support bits ARE the
+    data, no value pull needed.  Returns a pytree of device arrays;
+    reconstruct with :func:`finish_sparse`."""
+    size = arr.size
+    if size < MIN_COMPRESS_ELEMS or size % 8:
+        return {"full": arr}
+    flat = arr.reshape(-1)
+    fg = flat != 0
+    weights = jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
+    packed = jnp.sum(fg.reshape(-1, 8).astype(jnp.uint8) * weights[None, :],
+                     axis=1).astype(jnp.uint8)
+    out = {"packed": packed, "full": arr}
+    if values:
+        cap = size // cap_div
+        idx = jnp.flatnonzero(fg, size=cap, fill_value=size - 1)
+        out["vals"] = flat[idx]
+    return out
+
+
+def finish_sparse(prep, shape, out_dtype) -> np.ndarray:
+    """Host-side reconstruction of a :func:`sparse_prep` pull."""
+    if "packed" not in prep:
+        return np.asarray(prep["full"], out_dtype)
+    bits = np.unpackbits(np.asarray(prep["packed"]), bitorder="little")
+    if "vals" not in prep:  # 0/1 mask: the bits are the data
+        return bits.reshape(shape).astype(out_dtype, copy=False)
+    idx = np.flatnonzero(bits)
+    if len(idx) > prep["vals"].shape[0]:  # capacity overflow
+        return np.asarray(prep["full"], out_dtype)
+    vals = np.asarray(prep["vals"])[: len(idx)]
+    out = np.zeros(bits.shape[0], out_dtype)
+    out[idx] = vals.astype(out_dtype, copy=False)
+    return out.reshape(shape)

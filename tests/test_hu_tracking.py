@@ -148,3 +148,66 @@ def test_match_modes_agree(mode):
     out = matching.match_frames(post, pre, s_post, s_pre, h_post, h_pre, 1.0,
                                 tile_rows=tile)
     assert sorted(zip(base[0], base[1])) == sorted(zip(out[0], out[1]))
+
+
+def test_frame_features_cache_parity(tmp_path):
+    """_get_frame_features with the device-frame cache populated (the
+    fused-handoff path) must produce identical features to the memmap
+    upload path."""
+    shape = (2, 8, 32, 32)
+    raw = np.zeros(shape, np.float32)
+    z, y, x = np.mgrid[0:8, 0:32, 0:32]
+    for t in range(2):
+        for cy, cx in ((8 + 2 * t, 10), (20 + 2 * t, 22)):
+            raw[t] += 500 * np.exp(-(((z - 4) ** 2) / 2 + ((y - cy) ** 2 + (x - cx) ** 2) / 4))
+    labels = (raw > 100).astype(np.int32)
+    frangi = (raw / raw.max()).astype(np.float32) * (raw > 50)
+    marker = np.zeros(shape, np.uint8)
+    for t in range(2):
+        for cy, cx in ((8 + 2 * t, 10), (20 + 2 * t, 22)):
+            marker[t, 4, cy, cx] = 1
+    distance = (labels > 0).astype(np.float32) * 2.0
+
+    desc = ome_mod.build_ome_xml("TZYX", shape, "uint16",
+                                 dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 1.0})
+    path = tmp_path / "input.ome.tif"
+    tifffile.imwrite(path, raw.astype(np.uint16), description=desc)
+    fi = FileInfo(str(path))
+    fi.find_metadata()
+    fi.load_metadata()
+    im_info = ImInfo(fi)
+    im_info.allocate_memory(im_info.pipeline_paths["im_preprocessed"], dtype="float",
+                            data=frangi, description="frangi")
+    im_info.allocate_memory(im_info.pipeline_paths["im_instance_label"], dtype="int32",
+                            data=labels, description="labels")
+    im_info.allocate_memory(im_info.pipeline_paths["im_marker"], dtype="uint8",
+                            data=marker, description="markers")
+    im_info.allocate_memory(im_info.pipeline_paths["im_distance"], dtype="float32",
+                            data=distance, description="distance")
+
+    from nellie_tpu.stages.hu_tracking import HuMomentTracking
+    from nellie_tpu.utils.device_cache import frame_cache
+
+    def features(use_cache):
+        stage = HuMomentTracking(im_info, max_distance_um=2.0)
+        stage.low_memory = False
+        stage._use_frame_cache = use_cache
+        stage._get_t()
+        stage._allocate_memory()
+        if use_cache:
+            cache = frame_cache(im_info, create=True)
+            for t in range(2):
+                # raw is cached as the uint16 on-disk frame (the fused
+                # loop uploads the memmap frame verbatim)
+                cache.put("im", t, jnp.asarray(np.asarray(stage.im_memmap[t])))
+                cache.put("im_preprocessed", t, jnp.asarray(frangi[t]))
+                cache.put("im_distance", t, jnp.asarray(distance[t]))
+        return [stage._get_frame_features(t) for t in range(2)]
+
+    plain = features(False)
+    cached = features(True)
+    assert len(frame_cache(im_info)) == 0  # take() drains the cache
+    for p, c in zip(plain, cached):
+        np.testing.assert_array_equal(p.coords_voxel, c.coords_voxel)
+        np.testing.assert_allclose(p.stats, c.stats, rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(p.hu, c.hu, rtol=1e-5, atol=1e-6)
