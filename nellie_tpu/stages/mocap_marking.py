@@ -38,8 +38,17 @@ import jax.numpy as jnp
 from nellie_tpu.io.verifier import ImInfo
 from nellie_tpu.kernels import edt
 from nellie_tpu.kernels.filters import binary_dilation, gaussian_laplace, maximum_filter
-from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils import adaptive_run, transfer
 from nellie_tpu.utils.base_logger import logger
+
+
+@jax.jit
+def _sparse_bundle(marker, distance, border):
+    """One program for the frame's foreground-sparse pull preps
+    (marker/border are 0/1 masks: packed bits only)."""
+    return (transfer.sparse_prep(marker, values=False),
+            transfer.sparse_prep(distance),
+            transfer.sparse_prep(border, values=False))
 from nellie_tpu.utils.chunking import (
     compute_chunk_shape,
     crop_core,
@@ -232,9 +241,10 @@ class Markers:
         else:
             marker, distance, border = markers_frame_distance(
                 jnp.asarray(intensity), jnp.asarray(mask), self._params)
-        # lazy device arrays: the frame loop overlaps the pull with the
-        # next frame's dispatch
-        return marker, distance, border
+        # lazy foreground-sparse pulls: the frame loop overlaps them with
+        # the next frame's dispatch, and marker/border move as bit-packed
+        # masks (they are 0/1)
+        return _sparse_bundle(marker, distance, border)
 
     def _run_frame_chunked(self, t, intensity, mask, chunk_voxels=None):
         """Uniform-shape halo windows (one XLA program per frame) with the
@@ -272,11 +282,16 @@ class Markers:
             border[pending[0]] = np.asarray(pending[3])[pending[4]]
         return marker, distance, border
 
+    def _frame_shape(self):
+        ndim = 2 if self.im_info.no_z else 3
+        return self.im_marker_memmap.shape[-ndim:]
+
     # -- main loop -----------------------------------------------------------
     def _write_frame(self, t, marker_dev, distance_dev, border_dev):
-        marker = np.asarray(marker_dev)
-        distance = np.asarray(distance_dev)
-        border = np.asarray(border_dev)
+        shape = self._frame_shape()
+        marker = transfer.finish_sparse(marker_dev, shape, np.uint8)
+        distance = transfer.finish_sparse(distance_dev, shape, np.float32)
+        border = transfer.finish_sparse(border_dev, shape, np.uint8)
         if self.im_info.no_t or self.num_t == 1:
             self.im_marker_memmap[:] = marker[None] if self.im_marker_memmap.ndim == marker.ndim + 1 else marker
             self.im_distance_memmap[:] = distance[None] if self.im_distance_memmap.ndim == distance.ndim + 1 else distance

@@ -42,6 +42,13 @@ from nellie_tpu.utils.base_logger import logger
 # --------------------------------------------------------------------------
 
 @jax.jit
+def _sparse_bundle(skel, pixel_class, branch):
+    """One program for the frame's three foreground-sparse pull preps."""
+    return (transfer.sparse_prep(skel), transfer.sparse_prep(pixel_class),
+            transfer.sparse_prep(branch))
+
+
+@jax.jit
 def _clean_skeleton_kernel(skel_labels):
     """Zero skeleton voxels whose 3³ neighbourhood spans >1 instance label,
     preserving volume-boundary voxels (``networking.py:261-296``)."""
@@ -211,17 +218,21 @@ class Network:
         pixel_class = _pixel_class_kernel(skel)
         branch_skel_labels = _branch_skel_labels_kernel(pixel_class)
         branch_labels = _relabel_objects_kernel(branch_skel_labels, label_frame, self.scaling)
-        # narrow (uint16) pull copies dispatched with this frame's batch
-        return (transfer.prep_label_pull(jnp.where(skel > 0, branch_skel_labels, 0)),
-                pixel_class,
-                transfer.prep_label_pull(branch_labels))
+        # foreground-sparse pull copies dispatched with this frame's batch
+        return _sparse_bundle(jnp.where(skel > 0, branch_skel_labels, 0),
+                              pixel_class, branch_labels)
+
+    def _frame_shape(self):
+        ndim = 2 if self.im_info.no_z else 3
+        return self.skel_memmap.shape[-ndim:]
 
     def _run_frame(self, t):
         skel, pixel_class, branch_labels = self._run_frame_device(t)
+        shape = self._frame_shape()
         return (
-            transfer.finish_label_pull(skel, np.int32),
-            np.asarray(pixel_class),
-            transfer.finish_label_pull(branch_labels, np.uint32),
+            transfer.finish_sparse(skel, shape, np.int32),
+            transfer.finish_sparse(pixel_class, shape, np.uint8),
+            transfer.finish_sparse(branch_labels, shape, np.uint32),
         )
 
     def _get_sigma_vec(self, sigma):
@@ -289,9 +300,10 @@ class Network:
         return pc
 
     def _write_frame(self, t, skel_dev, pixel_class_dev, branch_dev):
-        skel = transfer.finish_label_pull(skel_dev, np.int32)
-        pixel_class = np.asarray(pixel_class_dev)
-        skel_relabelled = transfer.finish_label_pull(branch_dev, np.uint32)
+        shape = self._frame_shape()
+        skel = transfer.finish_sparse(skel_dev, shape, np.int32)
+        pixel_class = transfer.finish_sparse(pixel_class_dev, shape, np.uint8)
+        skel_relabelled = transfer.finish_sparse(branch_dev, shape, np.uint32)
         if self.im_info.no_t or self.num_t == 1:
             self.skel_memmap[:] = skel[None] if self.skel_memmap.ndim == skel.ndim + 1 else skel
             self.pixel_class_memmap[:] = pixel_class[None] if self.pixel_class_memmap.ndim == pixel_class.ndim + 1 else pixel_class

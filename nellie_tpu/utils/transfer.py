@@ -90,7 +90,10 @@ def sparse_prep(arr, values: bool = True, cap_div: int = SPARSE_CAP_DIV):
 
 
 def finish_sparse(prep, shape, out_dtype) -> np.ndarray:
-    """Host-side reconstruction of a :func:`sparse_prep` pull."""
+    """Host-side reconstruction of a :func:`sparse_prep` pull.
+    Already-materialised arrays pass through."""
+    if not isinstance(prep, dict):
+        return np.asarray(prep, out_dtype)
     if "packed" not in prep:
         return np.asarray(prep["full"], out_dtype)
     bits = np.unpackbits(np.asarray(prep["packed"]), bitorder="little")
