@@ -66,6 +66,14 @@ def finish_label_pull(prep, out_dtype) -> np.ndarray:
 SPARSE_CAP_DIV = 16  # capacity = size/16 (6.25% fg; measured max 1.6%)
 
 
+def packbits(fg):
+    """Little-endian bit-packing of a flat boolean vector (traced;
+    matches ``np.unpackbits(..., bitorder="little")``)."""
+    weights = jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
+    return jnp.sum(fg.reshape(-1, 8).astype(jnp.uint8) * weights[None, :],
+                   axis=1).astype(jnp.uint8)
+
+
 def sparse_prep(arr, values: bool = True, cap_div: int = SPARSE_CAP_DIV):
     """Traced-side sparse-pull prep — call INSIDE one jitted program so
     the whole frame's preps ride a single dispatch.
@@ -78,10 +86,7 @@ def sparse_prep(arr, values: bool = True, cap_div: int = SPARSE_CAP_DIV):
         return {"full": arr}
     flat = arr.reshape(-1)
     fg = flat != 0
-    weights = jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
-    packed = jnp.sum(fg.reshape(-1, 8).astype(jnp.uint8) * weights[None, :],
-                     axis=1).astype(jnp.uint8)
-    out = {"packed": packed, "full": arr}
+    out = {"packed": packbits(fg), "full": arr}
     if values:
         cap = size // cap_div
         idx = jnp.flatnonzero(fg, size=cap, fill_value=size - 1)
