@@ -17,6 +17,7 @@ import pandas as pd
 from qtpy.QtWidgets import (
     QCheckBox,
     QComboBox,
+    QDoubleSpinBox,
     QHBoxLayout,
     QLabel,
     QPushButton,
@@ -63,25 +64,48 @@ class NellieAnalysis(QWidget):
         row2.addWidget(self.feature_combo)
         row2.addWidget(QLabel("Statistic"))
         self.stat_combo = QComboBox()
+        self.stat_combo.currentTextChanged.connect(self._on_selection_change)
         row2.addWidget(self.stat_combo)
         layout.addLayout(row2)
 
         row3 = QHBoxLayout()
         self.log_box = QCheckBox("log10")
+        self.log_box.stateChanged.connect(self._on_hist_option)
         row3.addWidget(self.log_box)
         self.median_box = QCheckBox("median/IQR (vs mean±σ)")
+        self.median_box.stateChanged.connect(self._on_hist_option)
         row3.addWidget(self.median_box)
         self.match_t_box = QCheckBox("current frame only")
+        self.match_t_box.stateChanged.connect(self._on_match_t)
         row3.addWidget(self.match_t_box)
         row3.addWidget(QLabel("bins"))
         self.bins_spin = QSpinBox()
         self.bins_spin.setRange(4, 1024)
         self.bins_spin.setValue(50)
+        self.bins_spin.valueChanged.connect(self._on_hist_option)
         row3.addWidget(self.bins_spin)
         layout.addLayout(row3)
 
+        # histogram range controls (reference nellie_analysis.py:743 —
+        # min/max replot live, reset when the selection changes)
+        row4 = QHBoxLayout()
+        row4.addWidget(QLabel("hist min"))
+        self.hist_min = QDoubleSpinBox()
+        self.hist_min.setDecimals(4)
+        self.hist_min.setRange(-1e12, 1e12)
+        self.hist_min.valueChanged.connect(self._on_hist_option)
+        row4.addWidget(self.hist_min)
+        row4.addWidget(QLabel("hist max"))
+        self.hist_max = QDoubleSpinBox()
+        self.hist_max.setDecimals(4)
+        self.hist_max.setRange(-1e12, 1e12)
+        self.hist_max.valueChanged.connect(self._on_hist_option)
+        row4.addWidget(self.hist_max)
+        layout.addLayout(row4)
+
         self.plot_button = QPushButton("Plot histogram")
-        self.plot_button.clicked.connect(self.plot_data)
+        # clicked passes `checked`; don't let it bind reset_range
+        self.plot_button.clicked.connect(lambda *_: self.plot_data(True))
         layout.addWidget(self.plot_button)
 
         self.stats_label = QLabel("")
@@ -111,11 +135,52 @@ class NellieAnalysis(QWidget):
 
         self._figure = None
         self._label_coords = None
+        self._hist_guard = False  # suppress replot while resetting ranges
 
     # -- data loading -------------------------------------------------------------
     def post_init(self):
         self.get_csvs()
         self.rewrite_dropdown()
+        # replot on frame change while "current frame only" is active
+        # (reference nellie_analysis.py:1223)
+        try:
+            self.viewer.dims.events.current_step.connect(self._on_t_change)
+        except Exception:  # noqa: BLE001 — viewer may be headless in tests
+            pass
+
+    # -- live replot wiring (reference nellie_analysis.py:743,1235,1247) --------
+    def _on_hist_option(self, *_):
+        if not self._hist_guard and self._figure is not None:
+            self.plot_data(reset_range=False)
+
+    def _on_match_t(self, *_):
+        if not self._hist_guard:
+            self.plot_data(reset_range=True)
+
+    def _on_selection_change(self, *_):
+        """New feature/statistic: replot with a fresh range (reference
+        on_attr_selected, nellie_analysis.py:1379)."""
+        if not self._hist_guard and self._figure is not None:
+            self.plot_data(reset_range=True)
+
+    def _on_t_change(self, *_):
+        if self.match_t_box.isChecked():
+            self.plot_data(reset_range=False)
+
+    def _reset_hist_range(self, vals):
+        self._hist_guard = True
+        try:
+            self.hist_min.setValue(float(np.nanmin(vals)))
+            self.hist_max.setValue(float(np.nanmax(vals)))
+        finally:
+            self._hist_guard = False
+
+    def _set_controls_enabled(self, ok: bool):
+        for w in (self.hist_min, self.hist_max, self.bins_spin, self.log_box,
+                  self.median_box):
+            w.setEnabled(ok)
+        df = self.dfs.get(self.level_combo.currentText())
+        self.match_t_box.setEnabled(ok and df is not None and "t" in df.columns)
 
     def get_csvs(self):
         im_info = self.nellie.im_info
@@ -149,11 +214,16 @@ class NellieAnalysis(QWidget):
         self.on_feature_change(self.feature_combo.currentText())
 
     def on_feature_change(self, feature):
-        self.stat_combo.clear()
-        df = self.dfs.get(self.level_combo.currentText())
-        if df is None or not feature:
-            return
-        self.stat_combo.addItems(split_feature_columns(df.columns).get(feature, []))
+        self._hist_guard = True  # rebuilding the stat list fires its signal
+        try:
+            self.stat_combo.clear()
+            df = self.dfs.get(self.level_combo.currentText())
+            if df is None or not feature:
+                return
+            self.stat_combo.addItems(split_feature_columns(df.columns).get(feature, []))
+        finally:
+            self._hist_guard = False
+        self._on_selection_change()
 
     # -- selection ---------------------------------------------------------------
     def _current_values(self):
@@ -187,10 +257,19 @@ class NellieAnalysis(QWidget):
         return f"mean={mean:.4g}  σ={std:.4g}  n={vals.size}"
 
     # -- plotting -------------------------------------------------------------------
-    def plot_data(self):
+    def plot_data(self, reset_range: bool = True):
         col, vals = self._current_values()
         if vals is None or vals.size == 0:
             self.stats_label.setText("No data for selection.")
+            self._set_controls_enabled(False)
+            return
+        self._set_controls_enabled(True)
+        if reset_range or self.hist_min.value() >= self.hist_max.value():
+            self._reset_hist_range(vals)
+        lo_r, hi_r = self.hist_min.value(), self.hist_max.value()
+        vals_in = vals[(vals >= lo_r) & (vals <= hi_r)]
+        if vals_in.size == 0:
+            self.stats_label.setText("No data in histogram range.")
             return
         import matplotlib
 
@@ -198,20 +277,25 @@ class NellieAnalysis(QWidget):
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(6, 4))
-        ax.hist(vals, bins=self.bins_spin.value(), color="#4a7aa7", edgecolor="black")
+        ax.hist(vals_in, bins=self.bins_spin.value(), range=(lo_r, hi_r),
+                color="#4a7aa7", edgecolor="black")
         ax.set_xlabel(col + (" (log10)" if self.log_box.isChecked() else ""))
         ax.set_ylabel("count")
+        # labelled stat lines (reference draw_stats, nellie_analysis.py:1482)
         if self.median_box.isChecked():
-            center = np.median(vals)
-            lo, hi = np.percentile(vals, [25, 75])
+            lo, hi = np.percentile(vals_in, [25, 75])
+            ax.axvline(lo, color="r", linestyle="--", label="25th percentile")
+            ax.axvline(np.median(vals_in), color="m", label="Median")
+            ax.axvline(hi, color="r", linestyle="--", label="75th percentile")
         else:
-            center = vals.mean()
-            lo, hi = center - vals.std(), center + vals.std()
-        ax.axvline(center, color="red")
-        ax.axvspan(lo, hi, color="red", alpha=0.15)
+            mean, std = vals_in.mean(), vals_in.std()
+            ax.axvline(mean - std, color="b", linestyle="--", label="Mean - Std")
+            ax.axvline(mean, color="c", label="Mean")
+            ax.axvline(mean + std, color="b", linestyle="--", label="Mean + Std")
+        ax.legend()
         fig.tight_layout()
         self._figure = fig
-        self.stats_label.setText(self.get_stats(vals))
+        self.stats_label.setText(self.get_stats(vals_in))
         try:
             fig.show()
         except Exception:  # noqa: BLE001
