@@ -155,3 +155,38 @@ def test_preview_display_args():
     # missing resolutions -> no scale, still picks the right view
     scale, nd = preview_display_args("TZYX", (4, 16, 64, 64), {})
     assert scale is None and nd == 3
+
+
+def test_collect_tracks_over_frames():
+    """All-frame seeding offsets track ids, stops at first empty frame,
+    concatenates properties (reference nellie_visualizer.py:703-760)."""
+    from nellie_tpu.plugin.visualizer_utils import collect_tracks_over_frames
+
+    class FakeTracks:
+        def __init__(self, per_frame):
+            self.per_frame = per_frame
+            self.calls = []
+
+        def run(self, label_num=None, start_frame=0, end_frame=None,
+                min_track_num=0, skip_coords=1):
+            self.calls.append((start_frame, min_track_num, skip_coords, label_num))
+            tracks = [[min_track_num + i, start_frame, 0.0, 0.0]
+                      for i in range(self.per_frame.get(start_frame, 0))]
+            return tracks, {"cost": [0.5] * len(tracks)}
+
+    # frames 0,1 yield 2 tracks each; frame 2 empty -> stop before frame 3
+    fake = FakeTracks({0: 2, 1: 2, 3: 9})
+    tracks, props = collect_tracks_over_frames(
+        fake, start_frame=0, use_all_frames=True, num_frames=4, skip_coords=3)
+    assert len(tracks) == 4 and len(props["cost"]) == 4
+    ids = [t[0] for t in tracks]
+    assert ids == [0, 1, 2, 3]          # ids offset by min_track_num per frame
+    assert [c[0] for c in fake.calls] == [0, 1, 2]  # stopped at empty frame 2
+    assert all(c[2] == 3 for c in fake.calls)       # skip_coords forwarded
+
+    # single-frame mode: one call from the requested start frame
+    fake = FakeTracks({2: 3})
+    tracks, _ = collect_tracks_over_frames(
+        fake, start_frame=2, use_all_frames=False, num_frames=4, label_num=7)
+    assert len(tracks) == 3
+    assert fake.calls == [(2, 0, 1, 7)]
