@@ -2,10 +2,13 @@
 
 Reference: ``nellie_napari/nellie_loader.py`` — tabs Home / File
 validation / Process / Visualize / Analyze / Settings with lazy
-``post_init`` on tab change and single-vs-batch processing dispatch.
+``post_init`` on tab change, single-vs-batch processing dispatch, and a
+background PyPI version check surfaced on the Home tab
+(``VersionWorker:21``).
 """
 from __future__ import annotations
 
+from qtpy.QtCore import QThread, Signal
 from qtpy.QtWidgets import QTabWidget
 
 from nellie_tpu.plugin.nellie_analysis import NellieAnalysis
@@ -14,6 +17,28 @@ from nellie_tpu.plugin.nellie_home import Home
 from nellie_tpu.plugin.nellie_processor import NellieProcessor
 from nellie_tpu.plugin.nellie_settings import Settings
 from nellie_tpu.plugin.nellie_visualizer import NellieVisualizer
+
+
+class VersionWorker(QThread):
+    """Check PyPI for a newer release off the Qt main thread; offline
+    environments report the local version only."""
+
+    finished_check = Signal(str, str)
+
+    def run(self):
+        import json
+        import urllib.request
+
+        import nellie_tpu
+
+        latest = ""
+        try:
+            with urllib.request.urlopen(
+                    "https://pypi.org/pypi/nellie-tpu/json", timeout=5) as resp:
+                latest = json.load(resp)["info"]["version"]
+        except Exception:  # noqa: BLE001 — offline/zero-egress: local only
+            pass
+        self.finished_check.emit(nellie_tpu.__version__, latest)
 
 
 class NellieLoader(QTabWidget):
@@ -40,6 +65,19 @@ class NellieLoader(QTabWidget):
             add_nellie_plugins_to_menu(self)
         except Exception as exc:  # noqa: BLE001
             print(f"Nellie plugin discovery failed: {exc}")
+
+        self._version_worker = VersionWorker(self)
+        self._version_worker.finished_check.connect(self._on_version_checked)
+        self._version_worker.start()
+
+    def _on_version_checked(self, current, latest):
+        if not latest:
+            self.home.set_update_status(f"nellie_tpu {current}")
+        elif latest == current:
+            self.home.set_update_status(f"nellie_tpu {current} (up to date)")
+        else:
+            self.home.set_update_status(
+                f"nellie_tpu {current} — newer release {latest} on PyPI")
 
     def add_tabs(self):
         self.home_tab = self.addTab(self.home, "Home")
