@@ -183,7 +183,7 @@ def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
     data-parallel-by-frame is the faster layout for them."""
 
     from nellie_tpu.kernels.voting import _vote_kernel
-    from nellie_tpu.stages.flow_interpolation import _interp_tile_kernel
+    from nellie_tpu.stages.flow_interpolation import _interp_tile_body
     from nellie_tpu.stages.hierarchical import _motility_kernel
 
     spacing_v = jnp.asarray(p.sampling, jnp.float32)
@@ -207,8 +207,8 @@ def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
     def interp(query_phys, query_valid, origin_phys, flow_valid, vec_phys, cost):
         """Reference flow-interp weighting at query coords (physical in,
         physical vectors out; NaN rows where no flow vector in radius)."""
-        return _interp_tile_kernel(query_phys, query_valid, origin_phys,
-                                   flow_valid, vec_phys, cost, interp_d)
+        return _interp_tile_body(query_phys, query_valid, origin_phys,
+                                 flow_valid, vec_phys, cost, interp_d)
 
     def step(batch):
         spec_tz = [None] * batch.ndim

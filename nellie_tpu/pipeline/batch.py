@@ -10,8 +10,9 @@ the Filter, Label, Network and Markers stages run data-parallel across
 FILES: the combined (file, t) frame stream fills (tb = mesh t-extent)-
 sized groups that execute as one GSPMD-sharded program, exactly the
 BASELINE config #5 shape (batch single-channel organelle unmixing). The
-tracking/feature stages — which stream small per-frame structures
-through host artifacts — run per file afterwards.
+tracking/reassignment/feature stages — sequential in t within a file —
+run file-parallel: each file's stage loop is placed on its own mesh
+device and driven concurrently (:func:`_per_file_stages_parallel`).
 """
 from __future__ import annotations
 
@@ -216,6 +217,35 @@ def _network_markers_files_batched(im_infos, mesh, device):
             markers[i]._write_frame(t, *devs)
 
 
+def _per_file_stages_parallel(im_infos, mesh, device, skip_nodes):
+    """Stages 5-7 (tracking, reassignment, hierarchy) across files.
+
+    These stages are sequential in t WITHIN a file (label propagation)
+    but independent ACROSS files, so the batch-level data parallelism is
+    file placement: round-robin the files over the mesh's devices and
+    drive them from a thread pool (``jax.default_device`` is
+    thread-local, so each file's kernels execute on its own chip) — the
+    DCN-analog file-level sharding of SURVEY §5.8(iv).  The reference
+    runs the same stages strictly sequentially per file
+    (``/root/reference/nellie/cli.py:6-13``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    devs = list(mesh.devices.flatten())
+
+    def one(i):
+        im_info = im_infos[i]
+        with jax.default_device(devs[i % len(devs)]):
+            HuMomentTracking(im_info, device=device).run()
+            VoxelReassigner(im_info, device=device).run()
+            Hierarchy(im_info, skip_nodes=skip_nodes, device=device).run()
+
+    workers = max(1, min(len(devs), len(im_infos)))
+    logger.info("Batch: stages 5-7 file-parallel over %d devices (%d files)",
+                workers, len(im_infos))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(one, range(len(im_infos))))
+
+
 def run_files(file_infos, mesh=None, remove_edges=False,
               otsu_thresh_intensity=False, threshold=None,
               device="auto", low_memory=False, skip_nodes=False,
@@ -262,13 +292,8 @@ def run_files(file_infos, mesh=None, remove_edges=False,
     timed("network+markers (batched)", lambda: _network_markers_files_batched(
         im_infos, mesh, device))
 
-    def per_file():
-        for im_info in im_infos:
-            HuMomentTracking(im_info, device=device).run()
-            VoxelReassigner(im_info, device=device).run()
-            Hierarchy(im_info, skip_nodes=skip_nodes, device=device).run()
-
-    timed("per-file stages 5-7", per_file)
+    timed("stages 5-7 (file-parallel)", lambda: _per_file_stages_parallel(
+        im_infos, mesh, device, skip_nodes))
     if timeit:
         for name, secs in timings.items():
             print(f"Nellie Batch: {name} took {secs:.4f} seconds")

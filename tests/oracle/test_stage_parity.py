@@ -11,6 +11,9 @@ import pytest
 import scipy.ndimage as ndi
 
 from tests.oracle import algos
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 def _tube_frame(shape=(12, 48, 48), seed=0, amp=900.0):

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from nellie_tpu.kernels import frangi as frangi_k
 from nellie_tpu.pipeline.capacity import segment_volume
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 PARAMS = frangi_k.FrangiParams(sigmas=(0.75, 0.95), spacing=(0.5, 0.2, 0.2),
                                z_ratio=2.5)

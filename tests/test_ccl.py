@@ -6,6 +6,9 @@ import scipy.ndimage as ndi
 import jax.numpy as jnp
 
 from nellie_tpu.kernels import ccl
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.mark.parametrize("p", [0.2, 0.5, 0.7])

@@ -116,6 +116,7 @@ def test_fused_full_run_produces_all_artifacts(tmp_path):
         assert os.path.exists(pp[key]), key
 
 
+@pytest.mark.slow
 def test_fused_stage_fencing_times(tmp_path):
     """fence_stages returns a per-stage device-time dict."""
     from nellie_tpu.pipeline.fused import FusedSegmentation

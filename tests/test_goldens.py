@@ -8,6 +8,9 @@ import pytest
 from nellie_tpu.io import ome as ome_mod
 from nellie_tpu.io import tiff as tifffile
 from nellie_tpu.io.verifier import FileInfo
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 GOLDEN_FG_TOTAL = 881

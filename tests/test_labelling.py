@@ -8,6 +8,9 @@ from nellie_tpu.io import ome as ome_mod
 from nellie_tpu.io import tiff as tifffile
 from nellie_tpu.io.verifier import FileInfo, ImInfo
 from nellie_tpu.stages.labelling import Label, _label_frame_kernel
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 def _blob_volume(shape=(12, 48, 48), n_blobs=4, seed=0):

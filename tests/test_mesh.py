@@ -31,6 +31,7 @@ def test_sharded_vesselness_matches_single_device():
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_segment_step_batch():
     batch = np.stack([_tube(seed=i) for i in range(2)])
     mesh = make_mesh(8, t_axis=2)
@@ -44,6 +45,7 @@ def test_sharded_segment_step_batch():
     assert int(counts[0]) >= 1 and int(counts[1]) >= 1
 
 
+@pytest.mark.slow
 def test_filter_label_stages_with_mesh(tmp_path):
     """run(mesh=...) shards the Filter/Label frame kernels over an
     8-device mesh and produces artifacts identical to single-device."""
@@ -73,6 +75,7 @@ def test_filter_label_stages_with_mesh(tmp_path):
     assert l_single.max() == l_mesh.max()  # same component count
 
 
+@pytest.mark.slow
 def test_full_pipeline_step_sharded_parity():
     """All seven stages' dense step on the 8-device mesh (t=2 x z=4) must
     match single-device execution structurally (labels/skel/markers)."""
@@ -120,6 +123,7 @@ def test_full_pipeline_step_sharded_parity():
     assert sharded["reassigned_vox"].shape[1] >= int(sharded["n_fg"].max())
 
 
+@pytest.mark.slow
 def test_mesh_t_batched_frames_match_sequential(tmp_path):
     """run(mesh=<t=4 x z=2>) feeds frame groups to the mesh 't' axis; the
     Filter/Label artifacts must match the sequential per-frame path."""
@@ -145,6 +149,7 @@ def test_mesh_t_batched_frames_match_sequential(tmp_path):
     np.testing.assert_array_equal(l_seq, l_bat)
 
 
+@pytest.mark.slow
 def test_multi_file_batch_matches_sequential(tmp_path):
     """pipeline.batch.run_files with a t=4 mesh (files over 't') produces
     the same artifacts as sequential run() per file."""
@@ -180,6 +185,23 @@ def test_multi_file_batch_matches_sequential(tmp_path):
                 np.testing.assert_allclose(a, b, atol=1e-4, err_msg=key)
             else:
                 np.testing.assert_array_equal(a, b, err_msg=key)
+        # stages 5-7 run file-parallel over the mesh devices; results
+        # must match the sequential per-file loop exactly
+        fa = np.load(s_im.pipeline_paths["flow_vector_array"])
+        fb = np.load(b_im.pipeline_paths["flow_vector_array"])
+        np.testing.assert_allclose(fa, fb, atol=1e-5, err_msg="flow_vector_array")
+        for key in ("im_obj_label_reassigned", "im_branch_label_reassigned"):
+            a = np.asarray(s_im.get_memmap(s_im.pipeline_paths[key]))
+            b = np.asarray(b_im.get_memmap(b_im.pipeline_paths[key]))
+            np.testing.assert_array_equal(a, b, err_msg=key)
+        import pandas as pd
+        for key in ("features_branches", "features_organelles"):
+            da = pd.read_csv(s_im.pipeline_paths[key])
+            db = pd.read_csv(b_im.pipeline_paths[key])
+            assert list(da.columns) == list(db.columns), key
+            np.testing.assert_allclose(
+                da.to_numpy(float), db.to_numpy(float),
+                rtol=1e-5, atol=1e-6, equal_nan=True, err_msg=key)
 
 
 def test_cli_parse_mesh():
@@ -203,6 +225,7 @@ def test_make_hybrid_mesh_fallback():
     assert m.devices.size == flat.devices.size
 
 
+@pytest.mark.slow
 def test_multi_file_batch_single_timepoint_files(tmp_path):
     """BASELINE config #5 shape: a folder of single-timepoint ZYX files
     batched across the mesh 't' axis (regression: the canonical artifact

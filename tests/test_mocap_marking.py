@@ -9,6 +9,9 @@ from nellie_tpu.io import ome as ome_mod
 from nellie_tpu.io import tiff as tifffile
 from nellie_tpu.io.verifier import FileInfo, ImInfo
 from nellie_tpu.stages.mocap_marking import Markers
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 def _blob_volume(shape=(12, 48, 48), n_blobs=5, seed=0):

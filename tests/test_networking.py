@@ -16,6 +16,9 @@ from nellie_tpu.stages.networking import (
     _relabel_objects_kernel,
 )
 
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 def test_clean_skeleton_removes_multi_label_voxels():
     skel = np.zeros((8, 16, 16), np.int32)

@@ -2,11 +2,15 @@
 (the role of the reference's ``sample_data/yeast_3d_mitochondria.ome.tif``,
 which is stripped from the mirror)."""
 import numpy as np
+import pytest
 
 from nellie_tpu.io.verifier import FileInfo, ImInfo
 from nellie_tpu.stages.filtering import Filter
 from nellie_tpu.stages.labelling import Label
 from scripts.make_sample_data import write_sample
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 def test_sample_data_roundtrip_and_segment(tmp_path):

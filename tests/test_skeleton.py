@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from nellie_tpu.kernels import ccl
 from nellie_tpu.kernels.skeleton import skeletonize, skeletonize_2d, skeletonize_3d
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 def _n_components(mask, full=True):

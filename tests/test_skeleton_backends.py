@@ -12,6 +12,9 @@ from nellie_tpu.kernels.skeleton import (
     skeletonize_3d,
 )
 
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("p", [0.2, 0.5, 0.8])
 def test_deletable_backends_agree(rng, p):

@@ -1,8 +1,12 @@
 """Compile-warmer tests: shadow data is shape-true and the warm threads
 run real stages end-to-end without touching the caller's dataset."""
 import numpy as np
+import pytest
 
 from nellie_tpu.pipeline.warmup import PipelineWarmer, synthesize_shadow
+# compile-heavy: runs in the CI tests-slow job, not the fast path
+pytestmark = pytest.mark.slow
+
 
 
 def test_synthesize_shadow_shapes(tmp_path):
