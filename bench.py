@@ -19,9 +19,44 @@ exact CPU algorithm is re-timed in its native numpy/scipy form.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _emit(record):
+    """Print the one-line JSON result exactly once (main path or watchdog)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        print(json.dumps(record))
+        sys.stdout.flush()
+
+
+def _arm_watchdog(record, budget_s):
+    """After the headline metric exists, guarantee the JSON line gets out
+    even if a later, additive phase (link probe, e2e, CPU floor) wedges in
+    a device call — the tunnelled backend can hang indefinitely when the
+    link drops, and a lost BENCH line is worse than a partial one.
+    Hard-exits: a daemon thread abandoned mid-device-call must not run
+    interpreter shutdown."""
+    def fire():
+        print(f"[bench] watchdog: {budget_s}s budget exhausted — emitting "
+              "partial record", file=sys.stderr)
+        sys.stderr.flush()
+        _emit(record)
+        os._exit(0)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _make_frame(shape=(64, 256, 256), seed=0):
@@ -232,6 +267,12 @@ def main():
         "vs_baseline": round(vox_per_sec / base_vox_per_sec, 2),
     }
 
+    # everything below is additive context; don't let a link drop mid-run
+    # swallow the headline (NELLIE_BENCH_WATCHDOG_S=0 disables)
+    budget_s = float(os.environ.get("NELLIE_BENCH_WATCHDOG_S", "2700"))
+    if budget_s > 0:
+        _arm_watchdog(record, budget_s)
+
     # device->host link health: the per-frame stage loops are transfer-
     # bound on tunnelled backends, so e2e numbers are only interpretable
     # next to the link bandwidth at measurement time (observed range on
@@ -281,7 +322,7 @@ def main():
         except Exception as exc:  # noqa: BLE001 — additive, never fatal
             print(f"[bench] CPU reference floor skipped: {exc!r}", file=sys.stderr)
 
-    print(json.dumps(record))
+    _emit(record)
 
 
 if __name__ == "__main__":
