@@ -36,6 +36,12 @@ from nellie_tpu.plugin.analysis_utils import (  # noqa: F401
     split_feature_columns,
 )
 
+try:  # embedded in-tab canvas (reference nellie_analysis.py:85,314);
+    # headless/Agg environments fall back to external figure windows
+    from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg
+except Exception:  # noqa: BLE001
+    FigureCanvasQTAgg = None
+
 
 class NellieAnalysis(QWidget):
     def __init__(self, napari_viewer, nellie, parent=None):
@@ -107,6 +113,18 @@ class NellieAnalysis(QWidget):
         # clicked passes `checked`; don't let it bind reset_range
         self.plot_button.clicked.connect(lambda *_: self.plot_data(True))
         layout.addWidget(self.plot_button)
+
+        # in-tab histogram canvas (reference embeds a FigureCanvasQTAgg,
+        # nellie_analysis.py:85,314); None in headless/test environments
+        self.canvas = None
+        if FigureCanvasQTAgg is not None:
+            try:
+                self.canvas = FigureCanvasQTAgg()
+                self.canvas.figure.set_layout_engine("constrained")
+                self.canvas.setMinimumHeight(240)
+                layout.addWidget(self.canvas)
+            except Exception:  # noqa: BLE001 — no Qt display
+                self.canvas = None
 
         self.stats_label = QLabel("")
         layout.addWidget(self.stats_label)
@@ -271,12 +289,17 @@ class NellieAnalysis(QWidget):
         if vals_in.size == 0:
             self.stats_label.setText("No data in histogram range.")
             return
-        import matplotlib
+        if self.canvas is not None:
+            fig = self.canvas.figure
+            fig.clear()
+            ax = fig.add_subplot(111)
+        else:
+            import matplotlib
 
-        matplotlib.use("Agg", force=False)
-        import matplotlib.pyplot as plt
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=(6, 4))
+            fig, ax = plt.subplots(figsize=(6, 4))
         ax.hist(vals_in, bins=self.bins_spin.value(), range=(lo_r, hi_r),
                 color="#4a7aa7", edgecolor="black")
         ax.set_xlabel(col + (" (log10)" if self.log_box.isChecked() else ""))
@@ -293,13 +316,16 @@ class NellieAnalysis(QWidget):
             ax.axvline(mean, color="c", label="Mean")
             ax.axvline(mean + std, color="b", linestyle="--", label="Mean + Std")
         ax.legend()
-        fig.tight_layout()
         self._figure = fig
         self.stats_label.setText(self.get_stats(vals_in))
-        try:
-            fig.show()
-        except Exception:  # noqa: BLE001
-            pass
+        if self.canvas is not None:
+            self.canvas.draw()
+        else:
+            try:
+                fig.tight_layout()
+                fig.show()
+            except Exception:  # noqa: BLE001
+                pass
 
     # -- exports ----------------------------------------------------------------
     def _graph_dir(self):
