@@ -97,13 +97,31 @@ def main(argv=None):
                         help='Device mesh spec: "8" (data parallel) or "2x4" '
                              "(t-axis x z-axis); frames/files shard over 't', "
                              "space over 'z'")
+    parser.add_argument("--config", default=None,
+                        help="Path to a SettingsConfig JSON (the GUI Settings "
+                             "tab's full per-stage parameter tree; see "
+                             "nellie_tpu.plugin.config). Drives every stage's "
+                             "kwargs; runs files through the per-file path.")
     args = parser.parse_args(argv)
+
+    mesh = parse_mesh(args.mesh)
+    if args.config is not None and mesh is not None and int(mesh.shape.get("t", 1)) > 1:
+        # the batched multi-file path doesn't take per-stage kwargs;
+        # config runs go file-by-file — keep the devices as a spatial
+        # ('z') mesh when one was requested, else drop to single-device
+        print("--config given: running files sequentially (per-file path)")
+        if int(mesh.shape.get("z", 1)) > 1:
+            from nellie_tpu.mesh import make_mesh
+            mesh = make_mesh(mesh.devices.size, t_axis=1)
+        else:
+            mesh = None
 
     process_directory(
         args.directory, args.substring, args.output_directory, args.ch, args.num_t,
         device=args.device, remove_edges=args.remove_edges,
         low_memory=args.low_memory, timeit=args.timeit,
-        mesh=parse_mesh(args.mesh),
+        mesh=mesh,
+        **({} if args.config is None else {"config": args.config}),
     )
 
 

@@ -161,6 +161,10 @@ class FusedSegmentation:
         mesh=None,
         viewer=None,
         cache_frames: bool = False,
+        filter_kwargs=None,
+        label_kwargs=None,
+        network_kwargs=None,
+        markers_kwargs=None,
     ):
         self.im_info = im_info
         self.device = device
@@ -171,12 +175,23 @@ class FusedSegmentation:
         # ~50 MB/frame re-upload HuMomentTracking would otherwise pay
         # (utils/device_cache.py); budget-bounded, artifacts unchanged
         self.cache_frames = cache_frames
-        self.filter = Filter(im_info, remove_edges=remove_edges, device=device,
-                             mesh=mesh)
-        self.label = Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
-                           threshold=threshold, device=device, mesh=mesh)
-        self.network = Network(im_info, device=device)
-        self.markers = Markers(im_info, device=device)
+
+        def merge(extra, **base):
+            # per-stage config kwargs (plugin.config trees) win over the
+            # convenience args; the fused loop is whole-frame by design,
+            # so low_memory (a classic-ladder concern) is dropped here
+            kw = dict(base)
+            kw.update(extra or {})
+            kw.pop("low_memory", None)
+            return kw
+
+        self.filter = Filter(im_info, mesh=mesh, **merge(
+            filter_kwargs, remove_edges=remove_edges, device=device))
+        self.label = Label(im_info, mesh=mesh, **merge(
+            label_kwargs, otsu_thresh_intensity=otsu_thresh_intensity,
+            threshold=threshold, device=device))
+        self.network = Network(im_info, **merge(network_kwargs, device=device))
+        self.markers = Markers(im_info, **merge(markers_kwargs, device=device))
         self.stage_times = {}
 
     # -- setup -----------------------------------------------------------

@@ -34,6 +34,7 @@ def run(
     mesh=None,
     warm_start=True,
     fused=True,
+    config=None,
 ):
     """Run the full pipeline on a prepared :class:`FileInfo`.
 
@@ -54,11 +55,53 @@ def run(
     the per-stage path; set False to force the classic stage-by-stage
     loop (always used for ``low_memory`` and mesh 't'-batch runs).
 
+    ``config``: a :class:`nellie_tpu.plugin.config.SettingsConfig` (or a
+    dict / path to its JSON) carrying the full ~60-field per-stage
+    parameter tree — the same object the GUI's Settings tab round-trips
+    (reference ``nellie_napari/nellie_settings.py:20-99``).  When given,
+    it drives EVERY stage's constructor kwargs plus the basic toggles
+    (``remove_edges``, ``voxel_reassign``, ``remove_intermediates``,
+    ``analyze_node_level``), and the corresponding convenience arguments
+    above are ignored.
+
     Returns the :class:`ImInfo` (and per-stage timings dict if
     ``return_timings``).
     """
     im_info = ImInfo(file_info)
     timings = {}
+
+    stage_kw = None
+    voxel_reassign = True
+    remove_intermediates = False
+    if config is not None:
+        from nellie_tpu.plugin import config as cfg_mod
+
+        if isinstance(config, str):
+            cfg = cfg_mod.SettingsConfig.load(config)
+        elif isinstance(config, dict):
+            cfg = cfg_mod.SettingsConfig.from_dict(config)
+        else:
+            cfg = config
+        f_kw = cfg_mod.preprocessing_params(cfg)
+        f_kw["remove_edges"] = cfg.remove_edges
+        stage_kw = {
+            "filter": f_kw,
+            "label": cfg_mod.segmentation_label_params(cfg),
+            "network": cfg_mod.segmentation_network_params(cfg),
+            "markers": cfg_mod.mocap_params(cfg),
+            "tracking": cfg_mod.tracking_params(cfg),
+            "reassign": cfg_mod.reassign_params(cfg),
+            "hierarchy": cfg_mod.feature_params(cfg),
+        }
+        stage_kw["hierarchy"].setdefault("skip_nodes", skip_nodes)
+        voxel_reassign = cfg.voxel_reassign
+        remove_intermediates = cfg.remove_intermediates
+        skip_nodes = stage_kw["hierarchy"]["skip_nodes"]
+        # the fused whole-frame loop can't honor per-stage low_memory;
+        # fall back to the classic adaptive ladder for those runs
+        low_memory = low_memory or any(
+            stage_kw[k].get("low_memory") for k in
+            ("filter", "label", "network", "markers"))
 
     warmer = None
     if warm_start and not low_memory and mesh is None and device != "cpu":
@@ -95,7 +138,12 @@ def run(
                 threshold=threshold, device=device, mesh=mesh,
                 # tracking follows in this process: leave raw/frangi/
                 # distance device arrays in HBM for it (device_cache)
-                cache_frames=not im_info.no_t)
+                cache_frames=not im_info.no_t,
+                **({} if stage_kw is None else {
+                    "filter_kwargs": stage_kw["filter"],
+                    "label_kwargs": stage_kw["label"],
+                    "network_kwargs": stage_kw["network"],
+                    "markers_kwargs": stage_kw["markers"]}))
             start = time.perf_counter()
             try:
                 seg.run()
@@ -110,17 +158,32 @@ def run(
                     "per-stage adaptive ladder.", exc)
                 use_fused = False
         if not use_fused:
-            timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
-                                   low_memory=low_memory, mesh=mesh))
-            timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
-                                 threshold=threshold, device=device, low_memory=low_memory,
-                                 mesh=mesh))
-            timed("network", Network(im_info, device=device))
-            timed("markers", Markers(im_info, device=device))
-        timed("tracking", HuMomentTracking(im_info, device=device, low_memory=low_memory))
-        timed("reassign", VoxelReassigner(im_info, device=device))
-        timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
-                                     low_memory=low_memory))
+            if stage_kw is not None:
+                timed("filter", Filter(im_info, mesh=mesh, **stage_kw["filter"]))
+                timed("label", Label(im_info, mesh=mesh, **stage_kw["label"]))
+                timed("network", Network(im_info, **stage_kw["network"]))
+                timed("markers", Markers(im_info, **stage_kw["markers"]))
+            else:
+                timed("filter", Filter(im_info, remove_edges=remove_edges, device=device,
+                                       low_memory=low_memory, mesh=mesh))
+                timed("label", Label(im_info, otsu_thresh_intensity=otsu_thresh_intensity,
+                                     threshold=threshold, device=device, low_memory=low_memory,
+                                     mesh=mesh))
+                timed("network", Network(im_info, device=device))
+                timed("markers", Markers(im_info, device=device))
+        if stage_kw is not None:
+            timed("tracking", HuMomentTracking(im_info, **stage_kw["tracking"]))
+            if voxel_reassign:
+                timed("reassign", VoxelReassigner(im_info, **stage_kw["reassign"]))
+            timed("hierarchy", Hierarchy(im_info, **stage_kw["hierarchy"]))
+            if remove_intermediates:
+                im_info.remove_intermediates()
+        else:
+            timed("tracking", HuMomentTracking(im_info, device=device,
+                                               low_memory=low_memory))
+            timed("reassign", VoxelReassigner(im_info, device=device))
+            timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
+                                         low_memory=low_memory))
     finally:
         if warmer is not None:
             warmer.finish()
@@ -136,7 +199,8 @@ def run(
             print(f"Nellie Pipeline: Network step took {timings['network']:.4f} seconds")
             print(f"Nellie Pipeline: Markers step took {timings['markers']:.4f} seconds")
         print(f"Nellie Pipeline: HuMomentTracking step took {timings['tracking']:.4f} seconds")
-        print(f"Nellie Pipeline: VoxelReassigner step took {timings['reassign']:.4f} seconds")
+        if "reassign" in timings:
+            print(f"Nellie Pipeline: VoxelReassigner step took {timings['reassign']:.4f} seconds")
         print(f"Nellie Pipeline: Hierarchy step took {timings['hierarchy']:.4f} seconds")
         print(f"Nellie Pipeline: Total time took {timings['total']:.4f} seconds")
 
