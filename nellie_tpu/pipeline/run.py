@@ -172,7 +172,8 @@ def run(
                 timed("network", Network(im_info, device=device))
                 timed("markers", Markers(im_info, device=device))
         if stage_kw is not None:
-            timed("tracking", HuMomentTracking(im_info, **stage_kw["tracking"]))
+            timed("tracking", HuMomentTracking(im_info, mesh=mesh,
+                                               **stage_kw["tracking"]))
             if voxel_reassign:
                 timed("reassign", VoxelReassigner(im_info, **stage_kw["reassign"]))
             timed("hierarchy", Hierarchy(im_info, **stage_kw["hierarchy"]))
@@ -180,7 +181,7 @@ def run(
                 im_info.remove_intermediates()
         else:
             timed("tracking", HuMomentTracking(im_info, device=device,
-                                               low_memory=low_memory))
+                                               low_memory=low_memory, mesh=mesh))
             timed("reassign", VoxelReassigner(im_info, device=device))
             timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
                                          low_memory=low_memory))

@@ -116,8 +116,10 @@ class HuMomentTracking:
                  max_dense_roi_voxels_cpu: int = int(5e7),
                  max_dense_roi_voxels_gpu: int = int(2e7),
                  low_memory: bool = False,
-                 roi_chunk: int = 1024):
+                 roi_chunk: int = 1024,
+                 mesh=None):
         self.im_info = im_info
+        self.mesh = mesh
         if self.im_info.no_t:
             return
 
@@ -264,8 +266,62 @@ class HuMomentTracking:
             self.max_distance_um, tile_rows=tile_rows,
         )
 
+    def _pair_rows(self, t, features, prev_features):
+        """Flow-vector rows [t-1, idx0, vec, cost] for the (t-1, t) pair
+        (reference ``hu_tracking.py:1196-1232``)."""
+        rows, cols, costs = self._match_frames(features, prev_features)
+        if len(rows) == 0:
+            return None
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        costs = np.asarray(costs, np.float32)
+        pre_idx = prev_features.coords_voxel[cols]
+        cur_idx = features.coords_voxel[rows]
+        vecs = cur_idx - pre_idx
+        columns = [np.full(len(rows), t - 1, np.int64)]
+        columns += [pre_idx[:, d].astype(np.int64) for d in range(pre_idx.shape[1])]
+        columns += [vecs[:, d].astype(np.int64) for d in range(vecs.shape[1])]
+        columns += [costs]
+        return np.column_stack(columns)
+
     # -- main loop ---------------------------------------------------------------
-    def _run_hu_tracking(self):
+    def _run_hu_tracking_mesh(self):
+        """Frame-parallel tracking over the mesh's devices.
+
+        Per-frame feature extraction is independent across t, and each
+        (t-1, t) match depends only on those two frames' features — so
+        both phases round-robin frames/pairs over the mesh devices from
+        a thread pool (``jax.default_device`` is thread-local).  Output
+        rows are assembled in t order: identical to the sequential loop.
+        The reference runs frames strictly sequentially
+        (``/root/reference/nellie/tracking/hu_tracking.py:1162``).
+        """
+        import jax as _jax
+        from concurrent.futures import ThreadPoolExecutor
+
+        devs = list(self.mesh.devices.flatten())
+        feats = [None] * self.num_t
+
+        def features_one(t):
+            logger.info(f"Tracking features (mesh) frame {t + 1} of {self.num_t}")
+            with _jax.default_device(devs[t % len(devs)]):
+                feats[t] = self._get_frame_features(t)
+
+        workers = max(1, min(len(devs), self.num_t))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(features_one, range(self.num_t)))
+
+        pair_rows = [None] * (self.num_t - 1)
+
+        def match_one(t):
+            with _jax.default_device(devs[t % len(devs)]):
+                pair_rows[t - 1] = self._pair_rows(t, feats[t], feats[t - 1])
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(match_one, range(1, self.num_t)))
+        return [r for r in pair_rows if r is not None]
+
+    def _run_hu_tracking_sequential(self):
         prev_features = None
         frame_vectors = []
         for t in range(self.num_t):
@@ -273,28 +329,19 @@ class HuMomentTracking:
                 self.viewer.status = f"Tracking markers. Frame: {t + 1} of {self.num_t}."
             logger.info(f"Running Hu-moment tracking for frame {t + 1} of {self.num_t}")
             features = self._get_frame_features(t)
-            if prev_features is None:
-                prev_features = features
-                continue
-
-            rows, cols, costs = self._match_frames(features, prev_features)
-            if len(rows) == 0:
-                prev_features = features
-                continue
-
-            rows = np.asarray(rows, np.int64)
-            cols = np.asarray(cols, np.int64)
-            costs = np.asarray(costs, np.float32)
-            pre_idx = prev_features.coords_voxel[cols]
-            cur_idx = features.coords_voxel[rows]
-            vecs = cur_idx - pre_idx
-
-            columns = [np.full(len(rows), t - 1, np.int64)]
-            columns += [pre_idx[:, d].astype(np.int64) for d in range(pre_idx.shape[1])]
-            columns += [vecs[:, d].astype(np.int64) for d in range(vecs.shape[1])]
-            columns += [costs]
-            frame_vectors.append(np.column_stack(columns))
+            if prev_features is not None:
+                rows = self._pair_rows(t, features, prev_features)
+                if rows is not None:
+                    frame_vectors.append(rows)
             prev_features = features
+        return frame_vectors
+
+    def _run_hu_tracking(self):
+        if (self.mesh is not None and self.num_t > 2
+                and self.mesh.devices.size > 1):
+            frame_vectors = self._run_hu_tracking_mesh()
+        else:
+            frame_vectors = self._run_hu_tracking_sequential()
 
         if frame_vectors:
             flow_vector_array = np.concatenate(frame_vectors, axis=0)
@@ -312,8 +359,11 @@ class HuMomentTracking:
         def attempt(dev, low):
             self.low_memory = low
             # the cached arrays are committed to the accelerator; on the
-            # CPU/low-memory ladder rungs fall back to memmap uploads
-            self._use_frame_cache = dev == "accel" and not low
+            # CPU/low-memory ladder rungs fall back to memmap uploads —
+            # and under mesh frame-parallelism they would anchor every
+            # frame's kernels to the producing device, so skip them there
+            self._use_frame_cache = (dev == "accel" and not low
+                                     and self.mesh is None)
             self._get_t()
             self._allocate_memory()
             self._run_hu_tracking()

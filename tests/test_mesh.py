@@ -204,6 +204,30 @@ def test_multi_file_batch_matches_sequential(tmp_path):
                 rtol=1e-5, atol=1e-6, equal_nan=True, err_msg=key)
 
 
+@pytest.mark.slow
+def test_tracking_mesh_matches_sequential(tmp_path):
+    """HuMomentTracking(mesh=...) runs frame features and pair matching
+    device-parallel; flow_vector_array must equal the sequential loop."""
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+    from nellie_tpu.stages.hu_tracking import HuMomentTracking
+
+    def _track(out_dir, mesh):
+        sub = tmp_path / out_dir
+        sub.mkdir()
+        fi = _make_input(sub, n_t=4)
+        im_info = ImInfo(fi)
+        FusedSegmentation(im_info).run()
+        HuMomentTracking(im_info, mesh=mesh).run()
+        return np.load(im_info.pipeline_paths["flow_vector_array"])
+
+    seq = _track("seq", None)
+    par = _track("par", make_mesh(8, t_axis=8))
+    assert seq.shape[0] > 0  # the tubes drift: matches must exist
+    np.testing.assert_allclose(seq, par, atol=1e-5, err_msg="flow_vector_array")
+
+
 def test_cli_parse_mesh():
     from nellie_tpu.pipeline.cli import parse_mesh
 
