@@ -176,7 +176,7 @@ def run(
                                                **stage_kw["tracking"]))
             if voxel_reassign:
                 timed("reassign", VoxelReassigner(im_info, **stage_kw["reassign"]))
-            timed("hierarchy", Hierarchy(im_info, **stage_kw["hierarchy"]))
+            timed("hierarchy", Hierarchy(im_info, mesh=mesh, **stage_kw["hierarchy"]))
             if remove_intermediates:
                 im_info.remove_intermediates()
         else:
@@ -184,7 +184,7 @@ def run(
                                                low_memory=low_memory, mesh=mesh))
             timed("reassign", VoxelReassigner(im_info, device=device))
             timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
-                                         low_memory=low_memory))
+                                         low_memory=low_memory, mesh=mesh))
     finally:
         if warmer is not None:
             warmer.finish()

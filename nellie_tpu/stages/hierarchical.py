@@ -1071,8 +1071,10 @@ class Hierarchy:
         device=None,
         node_chunk_size=None,
         max_node_mask_elems: int = int(5e7),
+        mesh=None,
     ):
         self.im_info = im_info
+        self.mesh = mesh
         self.num_t = self.im_info.shape[0]
         if self.im_info.no_z:
             self.spacing = (self.im_info.dim_res["Y"], self.im_info.dim_res["X"])
@@ -1195,7 +1197,20 @@ class Hierarchy:
         self._vn_results = ({} if self.enable_adjacency and not self.skip_nodes
                             else None)
 
+        mesh_devs = (list(self.mesh.devices.flatten())
+                     if self.mesh is not None else None)
+        if mesh_devs is not None and len(mesh_devs) < 2:
+            mesh_devs = None
+
         def build(t):
+            if mesh_devs is not None:
+                # frame-parallel over the mesh: each frame's kernels run
+                # on its own device (jax.default_device is thread-local)
+                with jax.default_device(mesh_devs[t % len(mesh_devs)]):
+                    return _build_levels(t)
+            return _build_levels(t)
+
+        def _build_levels(t):
             vox = _VoxelLevel(self, t)
             nodes = None if self.skip_nodes else _NodeLevel(self, t, vox)
             branches = _BranchLevel(self, t, vox, nodes)
@@ -1203,9 +1218,15 @@ class Hierarchy:
             return vox, nodes, branches, components
 
         # frames are independent: build a couple concurrently so frame
-        # t+1's host gathers and device dispatches overlap frame t's;
-        # results are consumed (CSV, adjacency) strictly in frame order
-        workers = 1 if self.low_memory else min(2, self.num_t)
+        # t+1's host gathers and device dispatches overlap frame t's
+        # (width = mesh device count when a mesh is given); results are
+        # consumed (CSV, adjacency) strictly in frame order
+        if self.low_memory:
+            workers = 1
+        elif mesh_devs is not None:
+            workers = min(len(mesh_devs), self.num_t)
+        else:
+            workers = min(2, self.num_t)
         executor = (ThreadPoolExecutor(max_workers=workers,
                                        thread_name_prefix="nellie-hier-frame")
                     if workers > 1 else None)

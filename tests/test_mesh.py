@@ -228,6 +228,42 @@ def test_tracking_mesh_matches_sequential(tmp_path):
     np.testing.assert_allclose(seq, par, atol=1e-5, err_msg="flow_vector_array")
 
 
+@pytest.mark.slow
+def test_hierarchy_mesh_matches_sequential(tmp_path):
+    """Hierarchy(mesh=...) widens the frame pipeline over the mesh's
+    devices; every feature CSV must match the sequential (2-wide) loop."""
+    import pandas as pd
+
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+    from nellie_tpu.stages.hierarchical import Hierarchy
+    from nellie_tpu.stages.hu_tracking import HuMomentTracking
+    from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+    fi = _make_input(tmp_path, n_t=4)
+    im_info = ImInfo(fi)
+    FusedSegmentation(im_info).run()
+    HuMomentTracking(im_info).run()
+    VoxelReassigner(im_info).run()
+
+    keys = ("features_voxels", "features_nodes", "features_branches",
+            "features_organelles", "features_image")
+
+    def run_hier(mesh):
+        Hierarchy(im_info, skip_nodes=False, mesh=mesh).run()
+        return {k: pd.read_csv(im_info.pipeline_paths[k]) for k in keys}
+
+    seq = run_hier(None)
+    par = run_hier(make_mesh(8, t_axis=8))
+    for k in keys:
+        assert list(seq[k].columns) == list(par[k].columns), k
+        assert len(seq[k]) > 0, k
+        np.testing.assert_allclose(
+            seq[k].to_numpy(float), par[k].to_numpy(float),
+            rtol=1e-5, atol=1e-6, equal_nan=True, err_msg=k)
+
+
 def test_cli_parse_mesh():
     from nellie_tpu.pipeline.cli import parse_mesh
 
