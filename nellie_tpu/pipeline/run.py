@@ -175,14 +175,15 @@ def run(
             timed("tracking", HuMomentTracking(im_info, mesh=mesh,
                                                **stage_kw["tracking"]))
             if voxel_reassign:
-                timed("reassign", VoxelReassigner(im_info, **stage_kw["reassign"]))
+                timed("reassign", VoxelReassigner(im_info, mesh=mesh,
+                                                  **stage_kw["reassign"]))
             timed("hierarchy", Hierarchy(im_info, mesh=mesh, **stage_kw["hierarchy"]))
             if remove_intermediates:
                 im_info.remove_intermediates()
         else:
             timed("tracking", HuMomentTracking(im_info, device=device,
                                                low_memory=low_memory, mesh=mesh))
-            timed("reassign", VoxelReassigner(im_info, device=device))
+            timed("reassign", VoxelReassigner(im_info, device=device, mesh=mesh))
             timed("hierarchy", Hierarchy(im_info, skip_nodes=skip_nodes, device=device,
                                          low_memory=low_memory, mesh=mesh))
     finally:

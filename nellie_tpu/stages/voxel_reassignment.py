@@ -39,8 +39,10 @@ class VoxelReassigner:
                  max_query_points: int = int(1e6),
                  max_bruteforce_pairs: int = int(4e7),
                  device: str = "auto",
-                 low_memory: bool = False):
+                 low_memory: bool = False,
+                 mesh=None):
         self.im_info = im_info
+        self.mesh = mesh
         self.device = device
         self.low_memory = bool(low_memory)
         self.store_running_matches = store_running_matches
@@ -154,12 +156,16 @@ class VoxelReassigner:
         return (matched[mask].astype(np.int64), vox_next_kept[mask].astype(np.int64),
                 distances[mask].astype(np.float64))
 
-    def match_voxels(self, vox_prev, vox_next, t):
+    def match_voxels(self, vox_prev, vox_next, t, fw=None, bw=None):
         """Union of forward/backward interpolated candidates
-        (``voxel_reassignment.py:758-857``)."""
+        (``voxel_reassignment.py:758-857``).  ``fw``/``bw`` override the
+        shared interpolators (mesh frame-parallelism gives each worker
+        its own pair — FlowInterpolator caches per-t state)."""
         dim = vox_prev.shape[1] if vox_prev.ndim == 2 else 3
-        p_fw, n_fw, d_fw = self._match_forward(self.flow_interpolator_fw, vox_prev, vox_next, t)
-        p_bw, n_bw, d_bw = self._match_backward(self.flow_interpolator_bw, vox_next, vox_prev, t + 1)
+        p_fw, n_fw, d_fw = self._match_forward(
+            fw or self.flow_interpolator_fw, vox_prev, vox_next, t)
+        p_bw, n_bw, d_bw = self._match_backward(
+            bw or self.flow_interpolator_bw, vox_next, vox_prev, t + 1)
         parts = [(p, n, d) for p, n, d in ((p_fw, n_fw, d_fw), (p_bw, n_bw, d_bw)) if len(p)]
         if not parts:
             return (np.empty((0, dim), np.int64), np.empty((0, dim), np.int64),
@@ -308,6 +314,16 @@ class VoxelReassigner:
         mask_o = np.asarray(self.obj_label_memmap[t]) > 0
         return mask_b | mask_o
 
+    def _pair_candidates(self, t, fw=None, bw=None):
+        """Forward/backward candidates for the (t, t+1) pair, or None
+        when either frame is empty (frames read-only: safe to compute
+        pairs concurrently; only the label *voting* is t-sequential)."""
+        vox_prev = np.argwhere(self._get_master_mask(t))
+        vox_next = np.argwhere(self._get_master_mask(t + 1))
+        if len(vox_prev) == 0 or len(vox_next) == 0:
+            return None
+        return self.match_voxels(vox_prev, vox_next, t, fw=fw, bw=bw)
+
     def _run_reassignment(self):
         self._get_t()
         self._allocate_memory()
@@ -317,20 +333,63 @@ class VoxelReassigner:
 
         self.running_matches = []
         match_dtype = np.uint16 if max(self.spatial_shape) < 2**16 else np.uint32
+        n_pairs = self.num_t - 1
 
-        for t in range(self.num_t - 1):
+        # mesh frame-parallelism: the heavy phase (flow interpolation +
+        # MXU NN matching over all foreground voxels) is independent per
+        # (t, t+1) pair — compute a device-count-wide window of pairs
+        # ahead on round-robined mesh devices; voting consumes in order
+        mesh_devs = (list(self.mesh.devices.flatten())
+                     if self.mesh is not None else None)
+        executor = None
+        futures = {}
+        if mesh_devs is not None and len(mesh_devs) > 1 and n_pairs > 1:
+            import jax
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(
+                max_workers=min(len(mesh_devs), n_pairs),
+                thread_name_prefix="nellie-reassign-pair")
+
+            def compute(t):
+                with jax.default_device(mesh_devs[t % len(mesh_devs)]):
+                    # own interpolators: FlowInterpolator caches per-t rows
+                    fw = FlowInterpolator(self.im_info, forward=True)
+                    bw = FlowInterpolator(self.im_info, forward=False)
+                    return self._pair_candidates(t, fw, bw)
+
+            def result(t):
+                for ahead in range(t, min(t + len(mesh_devs), n_pairs)):
+                    if ahead not in futures:
+                        futures[ahead] = executor.submit(compute, ahead)
+                return futures.pop(t).result()
+        else:
+            def result(t):
+                return self._pair_candidates(t)
+
+        try:
+            self._reassign_loop(result, match_dtype, n_pairs)
+        finally:
+            for f in futures.values():
+                f.cancel()
+            if executor is not None:
+                executor.shutdown(wait=True)
+
+        if self.store_running_matches and self.voxel_matches_path is not None:
+            np.save(self.voxel_matches_path,
+                    np.array(self.running_matches, dtype=object))
+
+    def _reassign_loop(self, result, match_dtype, n_pairs):
+        for t in range(n_pairs):
             if self.viewer is not None:
                 self.viewer.status = f"Reassigning voxels. Frame: {t + 1} of {self.num_t}."
             logger.info(f"Reassigning pixels between frames {t} and {t + 1}")
 
-            vox_prev = np.argwhere(self._get_master_mask(t))
-            vox_next = np.argwhere(self._get_master_mask(t + 1))
-            if len(vox_prev) == 0 or len(vox_next) == 0:
+            candidates = result(t)
+            if candidates is None:
                 logger.info(f"No voxels to match between frames {t} and {t + 1}; stopping.")
                 break
-
-            candidate_prev, candidate_next, candidate_dist = self.match_voxels(
-                vox_prev, vox_next, t)
+            candidate_prev, candidate_next, candidate_dist = candidates
             if len(candidate_prev) == 0:
                 logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
                 break
@@ -349,10 +408,6 @@ class VoxelReassigner:
                 self.obj_label_memmap, self.reassigned_obj_memmap, t)
             self.reassigned_branch_memmap.flush()
             self.reassigned_obj_memmap.flush()
-
-        if self.store_running_matches and self.voxel_matches_path is not None:
-            np.save(self.voxel_matches_path,
-                    np.array(self.running_matches, dtype=object))
 
     def run(self):
         if self.im_info.no_t:

@@ -229,6 +229,42 @@ def test_tracking_mesh_matches_sequential(tmp_path):
 
 
 @pytest.mark.slow
+def test_reassign_mesh_matches_sequential(tmp_path):
+    """VoxelReassigner(mesh=...) computes the per-pair NN/flow candidates
+    device-parallel; reassigned labels and voxel matches must equal the
+    sequential loop (voting itself stays t-sequential in both)."""
+    from tests.test_pipeline import _make_input
+    from nellie_tpu.io.verifier import ImInfo
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+    from nellie_tpu.stages.hu_tracking import HuMomentTracking
+    from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+    fi = _make_input(tmp_path, n_t=4)
+    im_info = ImInfo(fi)
+    FusedSegmentation(im_info).run()
+    HuMomentTracking(im_info).run()
+
+    def run_reassign(mesh):
+        VoxelReassigner(im_info, mesh=mesh).run()
+        pp = im_info.pipeline_paths
+        return (
+            np.asarray(im_info.get_memmap(pp["im_obj_label_reassigned"])).copy(),
+            np.asarray(im_info.get_memmap(pp["im_branch_label_reassigned"])).copy(),
+            np.load(pp["voxel_matches"], allow_pickle=True),
+        )
+
+    obj_s, br_s, vm_s = run_reassign(None)
+    obj_p, br_p, vm_p = run_reassign(make_mesh(8, t_axis=8))
+    assert obj_s[1:].max() > 0  # labels actually propagated
+    np.testing.assert_array_equal(obj_s, obj_p)
+    np.testing.assert_array_equal(br_s, br_p)
+    assert len(vm_s) == len(vm_p)
+    for a, b in zip(vm_s, vm_p):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
+@pytest.mark.slow
 def test_hierarchy_mesh_matches_sequential(tmp_path):
     """Hierarchy(mesh=...) widens the frame pipeline over the mesh's
     devices; every feature CSV must match the sequential (2-wide) loop."""
