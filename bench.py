@@ -29,14 +29,23 @@ _emitted = False
 
 
 def _emit(record):
-    """Print the one-line JSON result exactly once (main path or watchdog)."""
+    """Print the one-line JSON result exactly once (main path or watchdog).
+
+    Serialises a shallow copy — the watchdog can fire while main() is
+    still inserting keys — and only marks emitted after a successful
+    print, falling back to a minimal record so SOME line always lands."""
     global _emitted
     with _emit_lock:
         if _emitted:
             return
-        _emitted = True
-        print(json.dumps(record))
+        try:
+            line = json.dumps(dict(record))
+        except Exception:  # noqa: BLE001 — concurrent mutation mid-copy
+            line = json.dumps({k: record.get(k) for k in
+                               ("metric", "value", "unit", "vs_baseline")})
+        print(line)
         sys.stdout.flush()
+        _emitted = True
 
 
 def _arm_watchdog(record, budget_s):
@@ -47,11 +56,13 @@ def _arm_watchdog(record, budget_s):
     Hard-exits: a daemon thread abandoned mid-device-call must not run
     interpreter shutdown."""
     def fire():
-        print(f"[bench] watchdog: {budget_s}s budget exhausted — emitting "
-              "partial record", file=sys.stderr)
-        sys.stderr.flush()
-        _emit(record)
-        os._exit(0)
+        try:
+            print(f"[bench] watchdog: {budget_s}s budget exhausted — emitting "
+                  "partial record", file=sys.stderr)
+            sys.stderr.flush()
+            _emit(record)
+        finally:
+            os._exit(0)
 
     t = threading.Timer(budget_s, fire)
     t.daemon = True

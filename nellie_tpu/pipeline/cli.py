@@ -44,7 +44,12 @@ def _prepare_file_info(tif_file, ch, num_t, output_dir):
 
 
 def process_files(files, ch, num_t, output_dir, mesh=None, timeit=False, **kwargs):
-    if mesh is not None and int(mesh.shape.get("t", 1)) > 1 and len(files) > 1:
+    # the batched multi-file path takes no per-stage kwargs: config runs
+    # go file-by-file through run(), which accepts the mesh as-is (t>1
+    # batches frames, spatial axes shard kernels, stages 5-7 go
+    # frame-parallel)
+    if (mesh is not None and int(mesh.shape.get("t", 1)) > 1 and len(files) > 1
+            and kwargs.get("config") is None):
         # data-parallel across files over the mesh 't' axis
         from nellie_tpu.pipeline.batch import run_files
 
@@ -101,27 +106,33 @@ def main(argv=None):
                         help="Path to a SettingsConfig JSON (the GUI Settings "
                              "tab's full per-stage parameter tree; see "
                              "nellie_tpu.plugin.config). Drives every stage's "
-                             "kwargs; runs files through the per-file path.")
+                             "kwargs; --device/--low_memory/--remove_edges "
+                             "override the corresponding config fields.")
     args = parser.parse_args(argv)
 
-    mesh = parse_mesh(args.mesh)
-    if args.config is not None and mesh is not None and int(mesh.shape.get("t", 1)) > 1:
-        # the batched multi-file path doesn't take per-stage kwargs;
-        # config runs go file-by-file — keep the devices as a spatial
-        # ('z') mesh when one was requested, else drop to single-device
-        print("--config given: running files sequentially (per-file path)")
-        if int(mesh.shape.get("z", 1)) > 1:
-            from nellie_tpu.mesh import make_mesh
-            mesh = make_mesh(mesh.devices.size, t_axis=1)
-        else:
-            mesh = None
+    config = None
+    if args.config is not None:
+        import dataclasses
+
+        from nellie_tpu.plugin.config import SettingsConfig
+
+        config = SettingsConfig.load(args.config)
+        # explicit CLI flags win over the config's per-stage fields —
+        # silently dropping flags typed on the same command line is worse
+        for f in dataclasses.fields(config):
+            if args.device != "auto" and f.name.endswith("_device"):
+                setattr(config, f.name, args.device)
+            if args.low_memory and f.name.endswith("_low_memory"):
+                setattr(config, f.name, True)
+        if args.remove_edges:
+            config.remove_edges = True
 
     process_directory(
         args.directory, args.substring, args.output_directory, args.ch, args.num_t,
         device=args.device, remove_edges=args.remove_edges,
         low_memory=args.low_memory, timeit=args.timeit,
-        mesh=mesh,
-        **({} if args.config is None else {"config": args.config}),
+        mesh=parse_mesh(args.mesh),
+        **({} if config is None else {"config": config}),
     )
 
 

@@ -93,10 +93,13 @@ def run(
             "reassign": cfg_mod.reassign_params(cfg),
             "hierarchy": cfg_mod.feature_params(cfg),
         }
-        stage_kw["hierarchy"].setdefault("skip_nodes", skip_nodes)
         voxel_reassign = cfg.voxel_reassign
         remove_intermediates = cfg.remove_intermediates
-        skip_nodes = stage_kw["hierarchy"]["skip_nodes"]
+        # feature_params omits skip_nodes unless the config asks for node
+        # analysis — Hierarchy's own default (True) then applies, matching
+        # the GUI / reference semantics (skip_nodes = not analyze_node_level,
+        # /root/reference/nellie_napari/nellie_processor.py:551)
+        skip_nodes = stage_kw["hierarchy"].get("skip_nodes", True)
         # the fused whole-frame loop can't honor per-stage low_memory;
         # fall back to the classic adaptive ladder for those runs
         low_memory = low_memory or any(

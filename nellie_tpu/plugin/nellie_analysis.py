@@ -299,6 +299,8 @@ class NellieAnalysis(QWidget):
             matplotlib.use("Agg", force=False)
             import matplotlib.pyplot as plt
 
+            if self._figure is not None:  # pyplot keeps every figure alive
+                plt.close(self._figure)
             fig, ax = plt.subplots(figsize=(6, 4))
         ax.hist(vals_in, bins=self.bins_spin.value(), range=(lo_r, hi_r),
                 color="#4a7aa7", edgecolor="black")

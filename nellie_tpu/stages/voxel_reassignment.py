@@ -343,20 +343,30 @@ class VoxelReassigner:
                      if self.mesh is not None else None)
         executor = None
         futures = {}
-        if mesh_devs is not None and len(mesh_devs) > 1 and n_pairs > 1:
+        # the window holds up to len(devs) pairs' candidate arrays in
+        # flight — on the ladder's low-memory rung fall back to the
+        # sequential one-pair-at-a-time loop so the retry can recover
+        if (mesh_devs is not None and len(mesh_devs) > 1 and n_pairs > 1
+                and not self.low_memory):
             import jax
+            import threading
             from concurrent.futures import ThreadPoolExecutor
 
             executor = ThreadPoolExecutor(
                 max_workers=min(len(mesh_devs), n_pairs),
                 thread_name_prefix="nellie-reassign-pair")
+            tls = threading.local()
 
             def compute(t):
                 with jax.default_device(mesh_devs[t % len(mesh_devs)]):
-                    # own interpolators: FlowInterpolator caches per-t rows
-                    fw = FlowInterpolator(self.im_info, forward=True)
-                    bw = FlowInterpolator(self.im_info, forward=False)
-                    return self._pair_candidates(t, fw, bw)
+                    # per-WORKER interpolators (FlowInterpolator caches
+                    # per-t rows, so the shared pair can't be used across
+                    # concurrent pairs; one construction per thread, not
+                    # two per pair)
+                    if not hasattr(tls, "fw"):
+                        tls.fw = FlowInterpolator(self.im_info, forward=True)
+                        tls.bw = FlowInterpolator(self.im_info, forward=False)
+                    return self._pair_candidates(t, tls.fw, tls.bw)
 
             def result(t):
                 for ahead in range(t, min(t + len(mesh_devs), n_pairs)):
