@@ -400,7 +400,12 @@ def remove_small_components(
     # vectorise, instead of scatter/gather, which they serialise
     # (measured ~65 ms each at 4.2M voxels).  Falls back to the scatter
     # form when the tap count gets large.
-    if (2 * hops + 1) ** mask.ndim <= 135:
+    # the stencil form identifies offsets by their LINEAR delta, which is
+    # only injective when every axis extent exceeds 2*hops — on narrower
+    # images two offsets share a delta (e.g. (1,-3) and (0,5) at W=8) and
+    # the root lookup could OR in a geometrically wrong verdict
+    if ((2 * hops + 1) ** mask.ndim <= 135
+            and all(s > 2 * hops for s in mask.shape)):
         return _remove_small_local(mask, vals, boundary, min_size, hops)
 
     flat = jnp.where(fg, vals, sentinel).reshape(-1)

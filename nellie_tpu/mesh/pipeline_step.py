@@ -407,13 +407,18 @@ def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh,
         n_fg = int(out["n_fg"].max())
         n_mk = int(out["n_markers"].max())
         n_lb = int(out["n_labels"].max())
+        n_br = int(out["branch_labels"].max())
         over = []
         if n_fg > p.voxel_cap:
             over.append(f"voxel_cap {p.voxel_cap} < {n_fg} fg voxels")
         if n_mk > p.marker_cap:
             over.append(f"marker_cap {p.marker_cap} < {n_mk} markers")
-        if n_lb > p.label_cap:
-            over.append(f"label_cap {p.label_cap} < {n_lb} labels")
+        # label/branch ids are 1-based: id == cap falls into the stats
+        # kernels' overflow bucket, so the caps must exceed the max id
+        if n_lb >= p.label_cap:
+            over.append(f"label_cap {p.label_cap} <= {n_lb} labels")
+        if n_br >= p.branch_cap:
+            over.append(f"branch_cap {p.branch_cap} <= {n_br} branches")
         if not over:
             return out
         logger.warning(
@@ -427,9 +432,8 @@ def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh,
         p = replace(p,
                     voxel_cap=_bucket_pow2(n_fg, p.voxel_cap),
                     marker_cap=_bucket_pow2(n_mk, p.marker_cap),
-                    label_cap=_bucket_pow2(n_lb, p.label_cap),
-                    branch_cap=_bucket_pow2(
-                        int(out["branch_labels"].max()) + 1, p.branch_cap))
+                    label_cap=_bucket_pow2(n_lb + 1, p.label_cap),
+                    branch_cap=_bucket_pow2(n_br + 1, p.branch_cap))
     return out
 
 

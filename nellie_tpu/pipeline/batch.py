@@ -93,6 +93,8 @@ def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
         for k, (i, t) in enumerate(pending[0]):
             filters[i]._write_frame(t, pending[1][k])
 
+    from nellie_tpu.utils import transfer
+
     labels = [Label(im, mesh=mesh, **label_kwargs) for im in im_infos]
     for l in labels:
         l._get_t()
@@ -128,14 +130,18 @@ def _segment_files_batched(im_infos, mesh, filter_kwargs, label_kwargs):
             jnp.asarray(it_b, jnp.float32), jnp.asarray(ft_b, jnp.float32),
             jnp.asarray(valid_b),
             labels[0].min_area_pixels, fill, use_intensity)
+        # uint16-narrowed pulls, same as the standalone Label loop
+        lab_preps = [transfer.prep_label_pull(lab[k]) for k in range(len(group))]
         if pending is not None:
             for k, (i, t) in enumerate(pending[0]):
-                labels[i].instance_label_memmap[t, ...] = np.asarray(pending[1][k])
+                labels[i].instance_label_memmap[t, ...] = transfer.finish_label_pull(
+                    pending[1][k], np.int32)
                 labels[i].instance_label_memmap.flush()
-        pending = (group, lab)
+        pending = (group, lab_preps)
     if pending is not None:
         for k, (i, t) in enumerate(pending[0]):
-            labels[i].instance_label_memmap[t, ...] = np.asarray(pending[1][k])
+            labels[i].instance_label_memmap[t, ...] = transfer.finish_label_pull(
+                pending[1][k], np.int32)
             labels[i].instance_label_memmap.flush()
 
 
@@ -148,7 +154,6 @@ def _network_markers_files_batched(im_infos, mesh, device):
         batched_markers_kernel,
         batched_network_kernel,
     )
-    from nellie_tpu.utils import transfer
 
     tb = int(mesh.shape["t"])
 
@@ -175,8 +180,11 @@ def _network_markers_files_batched(im_infos, mesh, device):
         skel_b, pc_b, branch_b = batched_network_kernel(
             jax.device_put(np.ascontiguousarray(labels), sharding),
             jax.device_put(np.ascontiguousarray(frangi), sharding), sampling)
-        preps = [(transfer.prep_label_pull(skel_b[k]), pc_b[k],
-                  transfer.prep_label_pull(branch_b[k]))
+        # same foreground-sparse pull preps as the standalone loop —
+        # the stage's _write_frame reconstructs via finish_sparse
+        from nellie_tpu.stages.networking import _sparse_bundle as _net_sparse
+
+        preps = [_net_sparse(skel_b[k], pc_b[k], branch_b[k])
                  for k in range(len(group))]
         if pending is not None:
             for (i, t), devs in zip(*pending):
@@ -207,7 +215,10 @@ def _network_markers_files_batched(im_infos, mesh, device):
         mk_b, di_b, bo_b = batched_markers_kernel(
             jax.device_put(np.ascontiguousarray(intensity), sharding),
             jax.device_put(np.ascontiguousarray(labels), sharding), params)
-        outs = [(mk_b[k], di_b[k], bo_b[k]) for k in range(len(group))]
+        from nellie_tpu.stages.mocap_marking import _sparse_bundle as _mk_sparse
+
+        outs = [_mk_sparse(mk_b[k], di_b[k], bo_b[k])
+                for k in range(len(group))]
         if pending is not None:
             for (i, t), devs in zip(*pending):
                 markers[i]._write_frame(t, *devs)

@@ -172,6 +172,11 @@ def segment_path(
         z_ratio=(1.0 if volume.ndim == 2
                  else (im_info.dim_res["Z"] / im_info.dim_res["X"] or 1.0)))
     out = segment_volume(volume, params, min_area=min_area, emit=emit, **kwargs)
+    if out.get("label_overflow"):
+        raise RuntimeError(
+            f"{out['n_labels']} components exceed the capacity path's "
+            "uint16 label emit; run the standard Filter+Label pipeline "
+            "(int32 labels) for this volume")
     if write_labels and "labels" in out:
         im_info.allocate_memory(
             im_info.pipeline_paths["im_instance_label"], dtype="int32",
@@ -224,6 +229,15 @@ def segment_volume(
     out, count = _segment_from_vessel(
         vessel_buf, min_area, volume.ndim == 3, step, histogram_nbins,
         threshold_sampling_pixels, emit)
+    label_overflow = emit != "mask" and int(count) > 0xFFFF
+    if label_overflow:
+        # the uint16 byte-cut emits can't represent >65535 components;
+        # wrapped ids would silently merge/erase labels downstream
+        logger.error(
+            "capacity segment: %d components exceed the uint16 label "
+            "emit — labels are wrapped and must not be used; run the "
+            "standard Filter+Label path (int32 labels) for this volume",
+            int(count))
     if emit == "sparse_labels":
         packed_dev, vals_dev, fg_dev = out
         fg_count = int(fg_dev)
@@ -249,7 +263,7 @@ def segment_volume(
         logger.info("capacity segment: %d windows, %.2f GB up, %.2f GB down "
                     "(sparse)", n_windows, bytes_up / 1e9, bytes_down / 1e9)
         return {"labels": labels.reshape(shape), "n_labels": int(count),
-                "fg_count": fg_count,
+                "fg_count": fg_count, "label_overflow": label_overflow,
                 "bytes_up": bytes_up, "bytes_down": bytes_down}
     result = np.asarray(out)
     bytes_down = result.nbytes
@@ -259,4 +273,5 @@ def segment_volume(
         return {"mask_packed": result, "fg_count": int(count),
                 "bytes_up": bytes_up, "bytes_down": bytes_down}
     return {"labels": result, "n_labels": int(count),
+            "label_overflow": label_overflow,
             "bytes_up": bytes_up, "bytes_down": bytes_down}

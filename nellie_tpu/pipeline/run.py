@@ -151,14 +151,20 @@ def run(
             try:
                 seg.run()
                 timings["seg_fused"] = time.perf_counter() - start
-            except Exception as exc:  # noqa: BLE001 — OOM -> classic ladder
-                if not adaptive_run.is_oom_error(exc):
+            except Exception as exc:  # noqa: BLE001 — recoverable -> ladder
+                # same recoverable classes as the per-stage ladder: OOM
+                # and accelerator-unavailable (e.g. a dropped tunnel
+                # link) retry through the classic per-stage path, which
+                # can land on CPU; anything else is a real error
+                if not (adaptive_run.is_oom_error(exc)
+                        or adaptive_run.is_accel_unavailable_error(exc)):
                     raise
                 from nellie_tpu.utils.base_logger import logger
 
                 logger.warning(
-                    "Fused segmentation hit OOM (%r); falling back to the "
-                    "per-stage adaptive ladder.", exc)
+                    "Fused segmentation failed with a recoverable error "
+                    "(%r); falling back to the per-stage adaptive ladder.",
+                    exc)
                 use_fused = False
         if not use_fused:
             if stage_kw is not None:

@@ -76,7 +76,9 @@ class NellieAnalysis(QWidget):
 
         row3 = QHBoxLayout()
         self.log_box = QCheckBox("log10")
-        self.log_box.stateChanged.connect(self._on_hist_option)
+        # domain change: the linear-range spinboxes are meaningless in
+        # log space, so replot with a fresh range (like a new selection)
+        self.log_box.stateChanged.connect(self._on_match_t)
         row3.addWidget(self.log_box)
         self.median_box = QCheckBox("median/IQR (vs mean±σ)")
         self.median_box.stateChanged.connect(self._on_hist_option)

@@ -164,15 +164,26 @@ class NellieVisualizer(QWidget):
         self.viewer.layers.selection.active = layer
         self._set_status("Loaded preprocessed image.")
 
+    def _layer_alive(self, key):
+        layer = self._layers.get(key)
+        return layer is not None and layer in self.viewer.layers
+
     def open_segment_image(self):
         """Open branch + organelle label layers together (branches hidden)."""
-        if self._reuse("instance") and "branches" in self._layers:
+        # both layers must still be in the viewer for reuse: the user may
+        # have deleted either one since (a stale cache key would skip the
+        # re-add, or re-adding both would duplicate the survivor)
+        if self._reuse("instance") and self._layer_alive("branches"):
             return
         paths = self._im_info().pipeline_paths
-        self._add_labels(paths["im_skel_relabelled"], "branches",
-                         "Labels: Branches", visible=False)
-        layer = self._add_labels(paths["im_instance_label"], "instance",
-                                 "Labels: Organelles")
+        if not self._layer_alive("branches"):
+            self._add_labels(paths["im_skel_relabelled"], "branches",
+                             "Labels: Branches", visible=False)
+        if not self._layer_alive("instance"):
+            layer = self._add_labels(paths["im_instance_label"], "instance",
+                                     "Labels: Organelles")
+        else:
+            layer = self._layers["instance"]
         self.viewer.layers.selection.active = layer
         self._set_status("Loaded segmentation label images.")
 
@@ -187,13 +198,17 @@ class NellieVisualizer(QWidget):
 
     def open_reassign_image(self):
         """Open reassigned branch + organelle label layers (branches hidden)."""
-        if self._reuse("reassigned_obj") and "reassigned_branch" in self._layers:
+        if self._reuse("reassigned_obj") and self._layer_alive("reassigned_branch"):
             return
         paths = self._im_info().pipeline_paths
-        self._add_labels(paths["im_branch_label_reassigned"], "reassigned_branch",
-                         "Reassigned px: Branches", visible=False)
-        layer = self._add_labels(paths["im_obj_label_reassigned"], "reassigned_obj",
-                                 "Reassigned px: Organelles")
+        if not self._layer_alive("reassigned_branch"):
+            self._add_labels(paths["im_branch_label_reassigned"], "reassigned_branch",
+                             "Reassigned px: Branches", visible=False)
+        if not self._layer_alive("reassigned_obj"):
+            layer = self._add_labels(paths["im_obj_label_reassigned"], "reassigned_obj",
+                                     "Reassigned px: Organelles")
+        else:
+            layer = self._layers["reassigned_obj"]
         self.viewer.layers.selection.active = layer
         self._set_status("Loaded reassigned label images.")
 

@@ -1075,6 +1075,8 @@ class Hierarchy:
     ):
         self.im_info = im_info
         self.mesh = mesh
+        self._border_cache = {}
+        self._border_cache_lock = threading.Lock()
         self.num_t = self.im_info.shape[0]
         if self.im_info.no_z:
             self.spacing = (self.im_info.dim_res["Y"], self.im_info.dim_res["X"])
@@ -1141,25 +1143,33 @@ class Hierarchy:
         exactly the same voxel set — so the first call computes one MXU
         NN pass over the union (pixel_class>0 | im_skel>0) and both
         consumers look their subset up by raveled index.  Keyed by t
-        (frames may be built concurrently); evicted at second consume."""
+        (frames may be built concurrently); evicted at last consume —
+        one consumer (Branches) under skip_nodes, two otherwise.  The
+        per-entry lock keeps concurrent frame builders from computing
+        the same frame's pass twice; the whole cache is also cleared at
+        the end of the run (branch-less frames never hit the branch
+        consume)."""
         coords = np.asarray(coords)
         shape = self.im_border_mask[t].shape
-        cache = getattr(self, "_border_cache", None)
-        if cache is None:
-            cache = self._border_cache = {}
-        entry = cache.get(t)
-        if entry is None:
-            union = (np.asarray(self.im_pixel_class[t]) > 0) \
-                | (np.asarray(self.im_skel[t]) > 0)
-            ucoords = np.argwhere(union)
-            udist = border_distance(
-                np.asarray(self.im_border_mask[t]) > 0, ucoords, self.spacing)
-            entry = (np.ravel_multi_index(tuple(ucoords.T), shape), udist, [0])
-            cache[t] = entry
-        ravel, udist, consumed = entry
-        consumed[0] += 1
-        if consumed[0] >= 2:
-            del cache[t]
+        cache = self._border_cache
+        with self._border_cache_lock:
+            entry = cache.get(t)
+            if entry is None:
+                entry = cache[t] = [None, [0], threading.Lock()]
+        slot, consumed, entry_lock = entry
+        with entry_lock:
+            if entry[0] is None:
+                union = (np.asarray(self.im_pixel_class[t]) > 0) \
+                    | (np.asarray(self.im_skel[t]) > 0)
+                ucoords = np.argwhere(union)
+                udist = border_distance(
+                    np.asarray(self.im_border_mask[t]) > 0, ucoords, self.spacing)
+                entry[0] = (np.ravel_multi_index(tuple(ucoords.T), shape), udist)
+        ravel, udist = entry[0]
+        with self._border_cache_lock:
+            consumed[0] += 1
+            if consumed[0] >= (1 if self.skip_nodes else 2):
+                cache.pop(t, None)
         if coords.size == 0:
             return np.zeros((0,), np.float32)
         pos = np.searchsorted(ravel, np.ravel_multi_index(tuple(coords.T), shape))
@@ -1269,6 +1279,7 @@ class Hierarchy:
             if executor is not None:
                 executor.shutdown(wait=True)
             pool.close()
+            self._border_cache.clear()
         if self._vn_results is not None:
             adjacency["v_n"] = [self._vn_results[t] for t in range(self.num_t)]
         if self.enable_adjacency:

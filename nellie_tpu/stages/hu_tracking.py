@@ -364,6 +364,16 @@ class HuMomentTracking:
             # frame's kernels to the producing device, so skip them there
             self._use_frame_cache = (dev == "accel" and not low
                                      and self.mesh is None)
+            if not self._use_frame_cache:
+                # nobody else consumes the fused loop's cache: release
+                # the pinned HBM (up to the 2.5 GB budget) up front —
+                # especially on the low-memory rung, which exists
+                # precisely because memory is tight
+                from nellie_tpu.utils.device_cache import frame_cache
+
+                cache = frame_cache(self.im_info)
+                if cache is not None:
+                    cache.clear()
             self._get_t()
             self._allocate_memory()
             self._run_hu_tracking()

@@ -102,6 +102,26 @@ def test_remove_small_matches_scipy_random_2d(rng):
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.parametrize("shape,min_size", [
+    ((6, 8), 7), ((5, 40), 10), ((40, 7), 8),   # 2D: one axis <= 2*hops
+    ((3, 4, 30), 3), ((4, 24, 4), 4),           # 3D slabs/columns
+])
+def test_remove_small_narrow_shapes_match_scipy(rng, shape, min_size):
+    """Axis extents <= 2*hops alias linear offset deltas in the stencil
+    form (e.g. (1,-3) vs (0,5) at width 8); these shapes must take the
+    scatter path and stay scipy-exact."""
+    structure = np.ones((3,) * len(shape))
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        mask = r.random(shape) > 0.6
+        ours = np.asarray(ccl.remove_small_components(jnp.asarray(mask), min_size))
+        labels, _ = ndi.label(mask, structure=structure)
+        sizes = np.bincount(labels.ravel())
+        sizes[0] = 0
+        ref = (sizes >= min_size)[labels]
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{shape} seed {seed}")
+
+
 def test_remove_small_fallback_paths(rng):
     """faces connectivity and min_size past the hop budget take the full
     union-find path; answers must agree with scipy either way."""
