@@ -517,6 +517,26 @@ class TiffFile:
                     dtype=p0.dtype,
                     pages=same,
                 )
+            if expected > npages == 1:
+                # ImageJ "truncated" / raw big-stack layout: ONE IFD and
+                # all frames stored contiguously after the first page's
+                # data — honoring only the IFD would silently read 1 of
+                # N frames
+                try:
+                    off = int(_as_tuple(p0.tag_value(273))[0])
+                    frame_bytes = int(np.prod(p0.shape)) * p0.dtype.itemsize
+                    fits = (p0.compression == COMPRESSION.NONE
+                            and off + expected * frame_bytes
+                            <= os.path.getsize(self.path))
+                except Exception:  # noqa: BLE001 — malformed page tags
+                    fits = False
+                if fits:
+                    return TiffSeries(
+                        shape=tuple(dims) + p0.shape,
+                        axes=axes + base_axes,
+                        dtype=p0.dtype,
+                        pages=same,
+                    )
 
         if npages == 1:
             return TiffSeries(shape=p0.shape, axes=base_axes, dtype=p0.dtype, pages=same)
@@ -559,7 +579,15 @@ class TiffFile:
     def asarray(self) -> np.ndarray:
         series = self.series[0]
         if len(series.pages) == 1:
-            return self._page_data(series.pages[0]).reshape(series.shape)
+            data = self._page_data(series.pages[0])
+            n_expected = int(np.prod(series.shape))
+            if data.size != n_expected:
+                # ImageJ truncated layout: one IFD, N contiguous frames
+                offset = self.contiguous_offset()
+                self._fh.seek(offset)
+                raw = self._fh.read(n_expected * series.dtype.itemsize)
+                return np.frombuffer(raw, series.dtype).reshape(series.shape).copy()
+            return data.reshape(series.shape)
         planes = [self._page_data(p) for p in series.pages]
         return np.stack(planes).reshape(series.shape)
 
@@ -638,6 +666,9 @@ def imwrite(
     ``metadata={'axes': 'TZYX'}`` embeds OME-XML built from the axes.
     """
     del photometric  # only minisblack is produced
+    if not bigtiff:
+        raise NotImplementedError(
+            "only BigTIFF output is supported (bigtiff=True)")
     path = os.fspath(path)
     if data is not None:
         data = np.asarray(data)
@@ -654,6 +685,10 @@ def imwrite(
     shape = tuple(int(s) for s in shape)
     if len(shape) < 2:
         raise ValueError("Image must be at least 2D")
+    if any(s <= 0 for s in shape):
+        # a zero-page file would get a header pointing at no IFD —
+        # corrupt on read; fail fast instead
+        raise ValueError(f"Image shape {shape} has a zero/negative extent")
     height, width = shape[-2], shape[-1]
     npages = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
     page_bytes = height * width * dtype.itemsize
@@ -722,11 +757,9 @@ def imwrite(
         next_ifd = ifd_pos(i + 1) if i + 1 < npages else 0
         buf += struct.pack("<Q", len(entries))
         for code, ttype, count, value in entries:
-            if code == 270:
-                # out-of-line ASCII: value slot holds the offset
-                buf += struct.pack("<HHQQ", code, ttype, count, value)
-            else:
-                buf += struct.pack("<HHQQ", code, ttype, count, value)
+            # every entry's value slot holds either the inline value or
+            # an offset (code 270's description is always out-of-line)
+            buf += struct.pack("<HHQQ", code, ttype, count, value)
         buf += struct.pack("<Q", next_ifd)
     # pad to data_offset
     buf += b"\x00" * (data_offset - len(buf))
@@ -747,7 +780,10 @@ def _default_axes(shape) -> str:
         return "YX"
     if extra == 1:
         return "QYX"
-    return "".join(known[:extra]) + "YX"
+    # >3 leading dims: pad with Q so the string always covers ndim
+    # (a short string would mis-pair Y/X in build_ome_xml's zip)
+    lead = "".join(known[:extra])
+    return "Q" * (extra - len(lead)) + lead + "YX"
 
 
 def _align(value: int, alignment: int) -> int:
@@ -779,16 +815,24 @@ def tiffcomment(path, comment: Optional[str] = None) -> Optional[str]:
 
     with open(path, "r+b") as fh:
         inline = 8 if bigtiff else 4
+        if value_offset != 0 and len(data) <= inline:
+            # an out-of-line value whose count drops to <= the inline
+            # threshold would be re-read as inline data (the stale offset
+            # bytes in the entry slot) — pad past the threshold
+            data = data.ljust(inline + 1, b"\x00")
         if value_offset == 0 and len(data) > inline:
             # previously inline; must relocate
             capacity = 0
         elif value_offset == 0:
             capacity = inline
+        elif value_offset < first_ifd:
+            # our writer's header|desc|IFD layout: the IFD bounds the
+            # reserved description region
+            capacity = first_ifd - value_offset
         else:
-            # capacity = up to the next structure (our writer reserves
-            # header|desc|IFD layout, so the first IFD bounds the region)
-            bound = first_ifd if value_offset < first_ifd else filesize
-            capacity = bound - value_offset
+            # foreign layout (description after the IFD): only the old
+            # value region is provably free — in-place only if it fits
+            capacity = old_count
 
         if len(data) <= capacity:
             write_offset = value_offset

@@ -144,24 +144,33 @@ class FileInfo:
     def _get_tif_tags_metadata(self, metadata):
         tag_names = {tag_value.name: tag_code for tag_code, tag_value in metadata.items()}
 
+        # some writers emit XResolution=(0, 1) for "unknown", or a
+        # ResolutionUnit tag with no X/YResolution at all — guard both
+        # so a readable file doesn't crash metadata discovery
         if "XResolution" in tag_names:
             value = metadata[tag_names["XResolution"]].value
-            self.dim_res["X"] = value[1] / value[0]
+            if value[0]:
+                self.dim_res["X"] = value[1] / value[0]
         if "YResolution" in tag_names:
             value = metadata[tag_names["YResolution"]].value
-            self.dim_res["Y"] = value[1] / value[0]
+            if value[0]:
+                self.dim_res["Y"] = value[1] / value[0]
         if "ResolutionUnit" in tag_names:
             unit = metadata[tag_names["ResolutionUnit"]].value
-            if unit == tifffile.RESUNIT.CENTIMETER:
-                self.dim_res["X"] *= 1e4
-                self.dim_res["Y"] *= 1e4
-            elif unit == tifffile.RESUNIT.INCH:
-                self.dim_res["X"] *= 25400
-                self.dim_res["Y"] *= 25400
+            scale = (1e4 if unit == tifffile.RESUNIT.CENTIMETER
+                     else 25400 if unit == tifffile.RESUNIT.INCH else None)
+            if scale is not None:
+                for d in ("X", "Y"):
+                    if self.dim_res.get(d) is not None:
+                        self.dim_res[d] *= scale
         if "Z" in self.axes and "ZResolution" in tag_names:
-            self.dim_res["Z"] = 1 / metadata[tag_names["ZResolution"]].value[0]
+            value = metadata[tag_names["ZResolution"]].value
+            if value[0]:
+                self.dim_res["Z"] = 1 / value[0]
         if "T" in self.axes and "FrameRate" in tag_names:
-            self.dim_res["T"] = 1 / metadata[tag_names["FrameRate"]].value[0]
+            value = metadata[tag_names["FrameRate"]].value
+            if value[0]:
+                self.dim_res["T"] = 1 / value[0]
 
     def _get_nd2_metadata(self, metadata):
         recorded_data = {}
@@ -463,7 +472,16 @@ class ImInfo:
             with tifffile.TiffFile(self.im_path) as tif:
                 existing_axes = tif.series[0].axes
             if "T" not in existing_axes and file_info.axes is not None and "T" in file_info.axes:
-                needs_regen = True
+                # a selected range of ONE timepoint legitimately reads
+                # back without a T axis (size-1 dims are dropped) — only
+                # a multi-frame expectation marks the copy stale, else
+                # every init would rewrite the canonical file
+                t_extent = None
+                if file_info.shape is not None:
+                    t_extent = file_info.shape[file_info.axes.index("T")]
+                    if file_info.t_end is not None:
+                        t_extent = file_info.t_end - (file_info.t_start or 0) + 1
+                needs_regen = t_extent is None or t_extent > 1
         if needs_regen:
             file_info.save_ome_tiff()
         self.im = tifffile.memmap(self.im_path)

@@ -152,3 +152,53 @@ def test_tiny_description_roundtrip(tmp_path):
     tiff.imwrite(path, data, description="hi")
     assert tiff.tiffcomment(path).rstrip("\x00") == "hi"
     np.testing.assert_array_equal(tiff.imread(path), data)
+
+
+def test_tiffcomment_shrink_to_inline_size(tmp_path):
+    """Replacing an out-of-line description with a <=8-byte comment must
+    not leave readers interpreting the stale offset bytes as inline data
+    (count <= inline threshold => value slot read as data)."""
+    data = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    path = tmp_path / "im.ome.tif"
+    tiff.imwrite(path, data, metadata={"axes": "YX"})
+    tiff.tiffcomment(path, "hi")
+    assert tiff.tiffcomment(path).rstrip("\x00") == "hi"
+    np.testing.assert_array_equal(tiff.imread(path), data)
+
+
+def test_imwrite_rejects_empty_shape(tmp_path):
+    """A zero-extent array would produce a header pointing at no IFD."""
+    with pytest.raises(ValueError):
+        tiff.imwrite(tmp_path / "z.tif", np.empty((0, 4, 4), np.uint8))
+    with pytest.raises(NotImplementedError):
+        tiff.imwrite(tmp_path / "c.tif", np.zeros((4, 4), np.uint8),
+                     bigtiff=False)
+
+
+def test_default_axes_covers_deep_stacks():
+    """The axes string must always cover ndim, or build_ome_xml's zip
+    mis-pairs Y/X with the wrong dimensions."""
+    assert tiff._default_axes((4, 5)) == "YX"
+    assert tiff._default_axes((2, 4, 5)) == "QYX"
+    assert tiff._default_axes((2, 3, 4, 4, 5)) == "QTZYX"
+    assert tiff._default_axes((2, 3, 4, 5, 4, 5)) == "QQTZYX"
+
+
+def test_imagej_truncated_hyperstack(tmp_path, rng):
+    """ImageJ truncated / raw big-stack layout: ONE IFD, frames=N, all
+    frames contiguous after the first page's data — must read as the
+    full stack, not silently as a single frame."""
+    frames = (rng.random((3, 4, 5)) * 1000).astype(np.uint16)
+    path = tmp_path / "trunc.tif"
+    desc = "ImageJ=1.53\nimages=3\nframes=3\n"
+    tiff.imwrite(path, frames[0], description=desc)
+    with open(path, "ab") as fh:
+        fh.write(frames[1:].tobytes())
+
+    with tiff.TiffFile(path) as tif:
+        s = tif.series[0]
+        assert s.axes == "TYX"
+        assert s.shape == (3, 4, 5)
+    np.testing.assert_array_equal(tiff.imread(path), frames)
+    mm = tiff.memmap(path, mode="r")
+    np.testing.assert_array_equal(np.asarray(mm), frames)

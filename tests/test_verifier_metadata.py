@@ -233,3 +233,52 @@ def test_allocate_memory_roundtrip(tmp_path):
     meta = ome_mod.from_xml(tifffile.tiffcomment(out))
     assert meta.images[0].description == "frangi"
     assert meta.images[0].pixels.physical_size_z == pytest.approx(0.5)
+
+
+def test_tif_tag_resolution_guards(tmp_path):
+    """ResolutionUnit without X/YResolution, and zero-numerator rationals
+    ('unknown' in some writers), must not crash metadata discovery."""
+    file_info = FileInfo(str(tmp_path / "dummy.tif"))
+    file_info.axes = "YX"
+    file_info.dim_res = {"X": None, "Y": None, "Z": None, "T": None}
+    # unit tag alone: nothing to scale, no TypeError
+    file_info._get_tif_tags_metadata(
+        {296: DummyTag("ResolutionUnit", tifffile.RESUNIT.INCH)})
+    assert file_info.dim_res["X"] is None
+
+    # zero-numerator rational: left unknown, no ZeroDivisionError
+    file_info._get_tif_tags_metadata({
+        282: DummyTag("XResolution", (0, 1)),
+        283: DummyTag("YResolution", (4, 1)),
+        296: DummyTag("ResolutionUnit", tifffile.RESUNIT.CENTIMETER),
+    })
+    assert file_info.dim_res["X"] is None
+    assert file_info.dim_res["Y"] == pytest.approx((1 / 4) * 1e4)
+
+
+def test_iminfo_single_timepoint_no_regen(tmp_path):
+    """A selected range of ONE timepoint reads back without a T axis;
+    ImInfo must accept the canonical copy instead of rewriting it on
+    every construction."""
+    import os
+
+    from nellie_tpu.io import ome as ome_mod
+
+    data = np.random.default_rng(0).integers(
+        0, 1000, (3, 4, 16, 16)).astype(np.uint16)
+    desc = ome_mod.build_ome_xml(
+        "TZYX", data.shape, "uint16",
+        dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 1.0})
+    path = str(tmp_path / "cells.ome.tif")
+    tifffile.imwrite(path, data, description=desc)
+    fi = FileInfo(path)
+    fi.find_metadata()
+    fi.load_metadata()
+    fi.select_temporal_range(1, 1)
+
+    im_info = ImInfo(fi)
+    canon = im_info.im_path
+    mtime = os.path.getmtime(canon)
+    im_info2 = ImInfo(fi)
+    assert os.path.getmtime(canon) == mtime, "canonical file was rewritten"
+    assert im_info2.im_path == canon
