@@ -95,28 +95,48 @@ def nearest_seed(
     steps = [1 << (n_steps - 1 - i) for i in range(n_steps)] + [1]
 
     coords = _coords(shape)
-    is_seed = seed_labels > 0
-    # state channels: [coord_0..coord_{ndim-1}, seed_label, seed_obj]
-    seed_obj = obj_labels if obj_labels is not None else jnp.zeros(shape, jnp.int32)
-    state = jnp.concatenate(
-        [
-            jnp.where(is_seed[None], coords, -1),
-            jnp.where(is_seed, seed_labels, 0).astype(jnp.int32)[None],
-            jnp.where(is_seed, seed_obj, -1).astype(jnp.int32)[None],
-        ]
-    )
-    my_obj = (obj_labels if obj_labels is not None else jnp.zeros(shape, jnp.int32)).astype(jnp.int32)
+    # the state carries only the nearest seed's FLAT index (+ its object
+    # id when constrained): 1-2 int32 channels instead of the naive
+    # ndim+2, so each of the ~26*log(n) rolled copies moves 2.5-5x fewer
+    # HBM bytes; seed coords are unflattened on the fly (mulhi/shift
+    # div-by-constant on the VPU is far cheaper than the saved traffic)
+    strides = [1] * ndim
+    for ax in range(ndim - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * shape[ax + 1]
 
-    def best_dist(st):
-        valid = st[ndim] > 0
-        d = _dist_sq(coords, st[:ndim], sampling)
-        return jnp.where(valid, d, jnp.inf)
+    flat_idx = jnp.zeros(shape, jnp.int32)
+    for ax in range(ndim):
+        flat_idx = flat_idx + coords[ax] * jnp.int32(strides[ax])
+
+    def seed_dist(idx):
+        """Squared physical distance from each voxel to the seed at flat
+        index ``idx`` (+inf where idx < 0)."""
+        d = jnp.zeros(shape, jnp.float32)
+        rem = idx
+        for ax in range(ndim):
+            if ax < ndim - 1:
+                q = rem // jnp.int32(strides[ax])
+                rem = rem - q * jnp.int32(strides[ax])
+            else:
+                q = rem
+            diff = (coords[ax] - q).astype(jnp.float32) * float(sampling[ax])
+            d = d + diff * diff
+        return jnp.where(idx >= 0, d, jnp.inf)
+
+    is_seed = seed_labels > 0
+    idx0 = jnp.where(is_seed, flat_idx, -1)
+    has_obj = obj_labels is not None
+    if has_obj:
+        my_obj = obj_labels.astype(jnp.int32)
+        state = jnp.stack([idx0, jnp.where(is_seed, my_obj, -1)])
+    else:
+        state = idx0[None]
 
     steps_arr = jnp.asarray(steps, jnp.int32)
 
     def one_step(i, state):
         step = steps_arr[i]
-        cur_d = best_dist(state)
+        cur_d = seed_dist(state[0])
         for off in offsets:
             cand = _roll_state(state, off, step)
             # source voxel v + off*step must be in-bounds (reject wraps)
@@ -125,10 +145,10 @@ def nearest_seed(
                 if o != 0:
                     src = coords[axis] + o * step
                     src_ok = src_ok & (src >= 0) & (src < shape[axis])
-            cand_valid = src_ok & (cand[ndim] > 0)
-            if obj_labels is not None:
-                cand_valid = cand_valid & (cand[ndim + 1] == my_obj)
-            cand_d = jnp.where(cand_valid, _dist_sq(coords, cand[:ndim], sampling), jnp.inf)
+            cand_valid = src_ok & (cand[0] >= 0)
+            if has_obj:
+                cand_valid = cand_valid & (cand[1] == my_obj)
+            cand_d = jnp.where(cand_valid, seed_dist(cand[0]), jnp.inf)
             take = cand_d < cur_d
             state = jnp.where(take[None], cand, state)
             cur_d = jnp.where(take, cand_d, cur_d)
@@ -136,8 +156,11 @@ def nearest_seed(
 
     state = lax.fori_loop(0, len(steps), one_step, state)
 
-    labels = jnp.where(state[ndim] > 0, state[ndim], 0)
-    dist = jnp.sqrt(best_dist(state))
+    final_idx = state[0]
+    valid = final_idx >= 0
+    labels = jnp.where(
+        valid, seed_labels.reshape(-1)[jnp.maximum(final_idx, 0)], 0)
+    dist = jnp.sqrt(seed_dist(final_idx))
     return labels, dist
 
 

@@ -32,6 +32,7 @@ is how ``run(..., mesh=)`` shards four of the seven stages (SURVEY §2.4).
 """
 from __future__ import annotations
 
+import threading
 import time
 
 import numpy as np
@@ -367,18 +368,47 @@ class FusedSegmentation:
         placement = self._placement(
             self.filter.im_memmap.shape[1:])
         stage_totals = {}
-        pending = None
-        for t in range(self.num_t):
-            if self.viewer is not None:
-                self.viewer.status = f"Segmenting (fused). Frame: {t + 1} of {self.num_t}."
-            logger.info("Fused segmentation: frame %d/%d", t + 1, self.num_t)
-            pulls, times = self._dispatch_frame(t, placement)
-            for k, v in times.items():
-                stage_totals[k] = stage_totals.get(k, 0.0) + v
-            if pending is not None:
-                self._write_frame(*pending)
-            pending = (t, pulls)
-        if pending is not None:
-            self._write_frame(*pending)
+        # a single background writer drains (t, pulls) in frame order: the
+        # blob pull's device wait and the memmap writes/flushes (~0.5
+        # s/frame profiled) overlap the main thread's dispatch of frame
+        # t+1 instead of sitting on the critical path.  maxsize=2 bounds
+        # host memory to two frames' pulled blobs.
+        import queue as _queue
+
+        q = _queue.Queue(maxsize=2)
+        writer_exc = []
+
+        def _drain():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                try:
+                    if not writer_exc:
+                        self._write_frame(*item)
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    writer_exc.append(exc)
+                finally:
+                    q.task_done()
+
+        writer = threading.Thread(target=_drain, name="nellie-fused-writer",
+                                  daemon=True)
+        writer.start()
+        try:
+            for t in range(self.num_t):
+                if self.viewer is not None:
+                    self.viewer.status = f"Segmenting (fused). Frame: {t + 1} of {self.num_t}."
+                logger.info("Fused segmentation: frame %d/%d", t + 1, self.num_t)
+                pulls, times = self._dispatch_frame(t, placement)
+                for k, v in times.items():
+                    stage_totals[k] = stage_totals.get(k, 0.0) + v
+                if writer_exc:
+                    break
+                q.put((t, pulls))
+        finally:
+            q.put(None)
+            writer.join()
+        if writer_exc:
+            raise writer_exc[0]
         self.stage_times = stage_totals
         return stage_totals

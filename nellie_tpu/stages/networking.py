@@ -85,16 +85,15 @@ def _add_missing_skeleton_kernel(skel_labels, instance_labels, frangi):
     frangi_flat = frangi.reshape(-1).astype(jnp.float32)
     fg = lbl_flat > 0
 
-    # which labels already have a skeleton voxel
-    has_skel = jnp.zeros((n + 1,), bool).at[
-        jnp.where(skel_flat > 0, skel_flat, n)
-    ].max(skel_flat > 0)
-
-    # per-label max frangi
-    tgt = jnp.where(fg, lbl_flat, n)
-    seg_max = jnp.full((n + 1,), -jnp.inf, jnp.float32).at[tgt].max(
-        jnp.where(fg, frangi_flat, -jnp.inf))
-    is_best = fg & (frangi_flat == seg_max[lbl_flat]) & ~has_skel[lbl_flat]
+    # ONE scatter-max answers both "which labels already have a skeleton
+    # voxel" (sentinel outranks every finite Frangi value) and "per-label
+    # max Frangi" — full-volume scatters dominate this kernel's runtime
+    sentinel = jnp.float32(3.0e38)
+    val = jnp.where(skel_flat > 0, sentinel, jnp.where(fg, frangi_flat, -jnp.inf))
+    tgt = jnp.where(fg | (skel_flat > 0), lbl_flat, n)
+    seg_max = jnp.full((n + 1,), -jnp.inf, jnp.float32).at[tgt].max(val)
+    per_vox = seg_max[lbl_flat]
+    is_best = fg & (per_vox < sentinel) & (frangi_flat == per_vox)
     # break ties at the first raster index per label
     idx = jnp.arange(n, dtype=jnp.int32)
     seg_first = jnp.full((n + 1,), n, jnp.int32).at[

@@ -343,22 +343,32 @@ class VoxelReassigner:
                      if self.mesh is not None else None)
         executor = None
         futures = {}
-        # the window holds up to len(devs) pairs' candidate arrays in
-        # flight — on the ladder's low-memory rung fall back to the
-        # sequential one-pair-at-a-time loop so the retry can recover
-        if (mesh_devs is not None and len(mesh_devs) > 1 and n_pairs > 1
-                and not self.low_memory):
-            import jax
+        # the window holds the in-flight pairs' candidate arrays — on the
+        # ladder's low-memory rung fall back to the sequential
+        # one-pair-at-a-time loop so the retry can recover.  Without a
+        # mesh a single prefetch worker still computes pair t+1's
+        # interpolation + NN matching (device) while the main thread
+        # votes and writes pair t (host) — profiled at ~0.4 s/pair of
+        # otherwise-serial device pulls
+        if n_pairs > 1 and not self.low_memory:
+            import contextlib
             import threading
             from concurrent.futures import ThreadPoolExecutor
 
+            import jax
+
+            devs = (mesh_devs if mesh_devs is not None and len(mesh_devs) > 1
+                    else None)
+            window = len(devs) if devs else 2
             executor = ThreadPoolExecutor(
-                max_workers=min(len(mesh_devs), n_pairs),
+                max_workers=(min(len(devs), n_pairs) if devs else 1),
                 thread_name_prefix="nellie-reassign-pair")
             tls = threading.local()
 
             def compute(t):
-                with jax.default_device(mesh_devs[t % len(mesh_devs)]):
+                ctx = (jax.default_device(devs[t % len(devs)]) if devs
+                       else contextlib.nullcontext())
+                with ctx:
                     # per-WORKER interpolators (FlowInterpolator caches
                     # per-t rows, so the shared pair can't be used across
                     # concurrent pairs; one construction per thread, not
@@ -369,7 +379,7 @@ class VoxelReassigner:
                     return self._pair_candidates(t, tls.fw, tls.bw)
 
             def result(t):
-                for ahead in range(t, min(t + len(mesh_devs), n_pairs)):
+                for ahead in range(t, min(t + window, n_pairs)):
                     if ahead not in futures:
                         futures[ahead] = executor.submit(compute, ahead)
                 return futures.pop(t).result()
