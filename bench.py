@@ -155,11 +155,16 @@ def _numpy_reference_seconds(frame, params, min_area):
     return time.perf_counter() - start
 
 
-def _cpu_reference_e2e(shape=(2, 64, 256, 256)):
+def _cpu_reference_e2e(shape=(2, 64, 256, 256), n_runs=2):
     """Full seven-stage CPU reference floor (numpy/scipy oracle chain,
     tests/oracle/e2e_cpu.py) on bench-size frames — the denominator of
-    the driver-captured ``e2e_vs_cpu`` ratio.  Pure host numpy/scipy;
-    runs alongside the TPU numbers in the same process."""
+    the driver-captured ``e2e_vs_cpu`` ratio.
+
+    Methodology (VERDICT r3 weak #5): BLAS/OpenMP thread count pinned to
+    the host's cpu_count via threadpoolctl, ``n_runs`` full runs, and the
+    FASTEST run wins — the conservative (lowest) speedup ratio.  The
+    thread count and run count are recorded in the bench JSON so floors
+    measured on different hosts are comparable."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -171,8 +176,40 @@ def _cpu_reference_e2e(shape=(2, 64, 256, 256)):
         for t in range(t_frames)
     ])
     data = np.clip(frames, 0, 65535).astype(np.uint16)
-    _, times = run_cpu_reference(data, {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 2.0})
-    return times, t_frames, int(np.prod(vol))
+
+    threads = os.cpu_count() or 1
+    try:
+        from threadpoolctl import threadpool_limits
+    except Exception:  # noqa: BLE001 — pinning is best-effort
+        import contextlib
+
+        def threadpool_limits(limits):  # noqa: ANN001
+            return contextlib.nullcontext()
+
+    best = None
+    with threadpool_limits(limits=threads):
+        for i in range(max(1, n_runs)):
+            _, times = run_cpu_reference(data, {"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 2.0})
+            print(f"[bench] CPU floor run {i + 1}/{n_runs}: "
+                  f"{times['total'] / t_frames:.1f}s/frame", file=sys.stderr)
+            if best is None or times["total"] < best["total"]:
+                best = times
+    return best, t_frames, int(np.prod(vol)), threads, n_runs
+
+
+def _recorded_cpu_floor():
+    """The persisted CPU floor (BASELINE.json "published") — the driver's
+    own capture from a prior round, so round-over-round ratios share a
+    denominator even when host load varies.  Returns (s_per_frame or
+    None, per-stage dict or None)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            pub = json.load(f).get("published", {})
+        return (pub.get("e2e_cpu_floor_s_per_frame"),
+                pub.get("e2e_cpu_stage_floor_s_per_frame"))
+    except Exception:  # noqa: BLE001
+        return None, None
 
 
 def _e2e_warm_timings(shape=(3, 64, 256, 256)):
@@ -264,6 +301,42 @@ def main():
     print(f"[bench] steady-state: {per_frame:.3f}s/frame, {vox_per_sec:,.0f} vox/s, "
           f"{int(n)} labels", file=sys.stderr)
 
+    # roofline for the segment kernel (VERDICT r3 weak #3): XLA's own
+    # cost analysis of the compiled program vs v5e peaks — names whether
+    # the kernel is HBM- or compute-bound and how far from the ceiling.
+    # v5e-1: ~197 TFLOP/s bf16 MXU (f32 elementwise runs on the VPU well
+    # below that), ~819 GB/s HBM.
+    roofline = None
+    try:
+        lowered = jax.jit(
+            lambda f: _segment_step(f, params, min_area)).lower(frame_dev)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        if flops and hbm_bytes:
+            gflops_s = flops / per_frame / 1e9
+            gbytes_s = hbm_bytes / per_frame / 1e9
+            pct_flops = 100.0 * gflops_s / 197_000.0
+            pct_hbm = 100.0 * gbytes_s / 819.0
+            bound = "HBM" if pct_hbm >= pct_flops else "compute"
+            roofline = {
+                "flops_per_frame": flops,
+                "hbm_bytes_per_frame": hbm_bytes,
+                "achieved_gflops_s": round(gflops_s, 1),
+                "achieved_gb_s": round(gbytes_s, 1),
+                "pct_of_bf16_peak": round(pct_flops, 2),
+                "pct_of_hbm_roofline": round(pct_hbm, 1),
+                "bound": bound,
+            }
+            print(f"[bench] roofline: {gflops_s:,.0f} GFLOP/s "
+                  f"({pct_flops:.2f}% of bf16 MXU peak), {gbytes_s:,.0f} GB/s "
+                  f"({pct_hbm:.1f}% of HBM roofline) -> {bound}-bound",
+                  file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — additive diagnostics only
+        print(f"[bench] roofline unavailable: {exc!r}", file=sys.stderr)
+
     # CPU reference-algorithm baseline (numpy/scipy, identical semantics);
     # best of two runs — conservative (lowest) speedup ratio
     base_s = min(_numpy_reference_seconds(frame, params, min_area) for _ in range(2))
@@ -277,6 +350,8 @@ def main():
         "unit": "voxels/sec/chip",
         "vs_baseline": round(vox_per_sec / base_vox_per_sec, 2),
     }
+    if roofline is not None:
+        record["roofline"] = roofline
 
     # everything below is additive context; don't let a link drop mid-run
     # swallow the headline (NELLIE_BENCH_WATCHDOG_S=0 disables)
@@ -317,19 +392,47 @@ def main():
 
     # CPU reference floor: the numpy/scipy oracle chain end-to-end at the
     # same frame size — denominator for the e2e ratio (NELLIE_BENCH_CPU=0
-    # to skip; ~4-6 min of pure host compute)
+    # to skip; ~8-12 min of pure host compute for the two pinned runs).
+    # The effective floor is min(measured best-of-2, the floor persisted
+    # in BASELINE.json) — conservative in both directions: a loaded host
+    # can only LOWER the reported speedup, never inflate it.
     if (os.environ.get("NELLIE_BENCH_CPU", "1") != "0"
             and "e2e_s_per_frame" in record):
         try:
-            cpu_times, cpu_frames, cpu_vox = _cpu_reference_e2e()
+            cpu_times, cpu_frames, cpu_vox, threads, n_runs = _cpu_reference_e2e()
             cpu_spf = cpu_times["total"] / cpu_frames
+            cpu_stage = {k: round(v / cpu_frames, 2) for k, v in cpu_times.items()
+                         if k != "total"}
             record["e2e_cpu_s_per_frame"] = round(cpu_spf, 2)
-            record["e2e_cpu_stage_s_per_frame"] = {
-                k: round(v / cpu_frames, 2) for k, v in cpu_times.items()
-                if k != "total"}
-            record["e2e_vs_cpu"] = round(cpu_spf / record["e2e_s_per_frame"], 1)
-            print(f"[bench] CPU reference e2e: {cpu_spf:.1f}s/frame "
+            record["e2e_cpu_stage_s_per_frame"] = cpu_stage
+            record["e2e_cpu_threads"] = threads
+            record["e2e_cpu_runs"] = n_runs
+            rec_floor, rec_stage = _recorded_cpu_floor()
+            floor = min(x for x in (cpu_spf, rec_floor) if x)
+            record["e2e_cpu_floor_s_per_frame"] = round(floor, 2)
+            record["e2e_vs_cpu"] = round(floor / record["e2e_s_per_frame"], 1)
+            print(f"[bench] CPU reference e2e: measured {cpu_spf:.1f}s/frame "
+                  f"({threads} threads, best of {n_runs}), floor {floor:.1f} "
                   f"-> e2e_vs_cpu = {record['e2e_vs_cpu']}x", file=sys.stderr)
+
+            # per-stage speedups vs the reference's own CUDA-port table
+            # (BASELINE.md): tracking >= 6x, reassign >= 2x etc. are
+            # checkable per stage, not just in aggregate (VERDICT r3 #7)
+            stage_floor = dict(cpu_stage)
+            if rec_stage:
+                for k, v in rec_stage.items():
+                    stage_floor[k] = min(stage_floor.get(k, v), v)
+            tpu_stage = record.get("e2e_stage_s_per_frame", {})
+            vs_stage = {}
+            seg_cpu = sum(stage_floor.get(k, 0.0) for k in
+                          ("filter", "label", "network", "markers"))
+            if "seg_fused" in tpu_stage and seg_cpu:
+                vs_stage["segmentation"] = round(seg_cpu / tpu_stage["seg_fused"], 1)
+            for k in ("tracking", "reassign", "hierarchy"):
+                if k in tpu_stage and stage_floor.get(k):
+                    vs_stage[k] = round(stage_floor[k] / tpu_stage[k], 1)
+            record["vs_cpu_per_stage"] = vs_stage
+            print(f"[bench] per-stage vs CPU: {vs_stage}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — additive, never fatal
             print(f"[bench] CPU reference floor skipped: {exc!r}", file=sys.stderr)
 

@@ -118,10 +118,17 @@ HOST_CUTOVER_N = 16384
 
 
 def segment_nanstats(values: np.ndarray, seg_ids: np.ndarray,
-                     num_segments: int) -> Dict[str, np.ndarray]:
+                     num_segments: int, values_dev=None) -> Dict[str, np.ndarray]:
     """Bucket-pad N and num_segments (stable jit shapes), run the device
     kernel, slice back — or the vectorised host path for small tables.
-    values (S, N); returns (S, num_segments) per stat key."""
+    values (S, N); returns (S, num_segments) per stat key.
+
+    ``values_dev``: optional device-resident (S, NB>=N) float32 matrix
+    with NaN padding beyond N — when the producer (the hierarchy's
+    per-frame stats bundle) already holds the values in HBM, passing it
+    here skips the (S, N) re-upload; only the tiny segment-id vector
+    crosses the link.  The host cutover still applies (and uses the host
+    ``values``, which the caller has pulled for the CSV anyway)."""
     values = np.atleast_2d(np.asarray(values, np.float32))
     seg_ids = np.asarray(seg_ids, np.int32)
     s, n = values.shape
@@ -134,13 +141,18 @@ def segment_nanstats(values: np.ndarray, seg_ids: np.ndarray,
     # over N values beat a device dispatch + pull at any N
     if n < HOST_CUTOVER_N or num_segments <= 8:
         return group_stats_np(values, seg_ids, num_segments)
-    nb = _bucket(n, 128)
     gb = _bucket(num_segments, 8)
-    v = np.full((s, nb), np.nan, np.float32)
-    v[:, :n] = values
+    if values_dev is not None and values_dev.shape[0] == s and values_dev.shape[1] >= n:
+        nb = values_dev.shape[1]
+        v_dev = values_dev
+    else:
+        nb = _bucket(n, 128)
+        v = np.full((s, nb), np.nan, np.float32)
+        v[:, :n] = values
+        v_dev = jnp.asarray(v)
     ids = np.full((nb,), -1, np.int32)
     ids[:n] = seg_ids
-    out = np.asarray(_segment_nanstats_kernel(jnp.asarray(v), jnp.asarray(ids), gb))
+    out = np.asarray(_segment_nanstats_kernel(v_dev, jnp.asarray(ids), gb))
     return {k: out[i][:, :num_segments] for i, k in enumerate(STAT_KEYS)}
 
 
@@ -226,19 +238,48 @@ def _branch_geometry_kernel(skel: jnp.ndarray, spacing: Tuple[float, ...],
     return lengths, degree.astype(jnp.uint8)
 
 
-def branch_geometry(skel: np.ndarray, spacing) -> Tuple[np.ndarray, np.ndarray]:
+@partial(jax.jit, static_argnames=("spacing", "num_labels"))
+def _branch_geometry_at_kernel(skel, spacing, num_labels, coords):
+    """Branch geometry with the degree volume gathered at ``coords`` on
+    device — only (num_labels,) lengths + (n_coords,) degrees cross the
+    link instead of the full uint8 degree volume."""
+    lengths, degree = _branch_geometry_kernel(skel, spacing, num_labels)
+    at = tuple(coords[:, d] for d in range(coords.shape[1]))
+    return lengths, degree[at]
+
+
+def branch_geometry(skel: np.ndarray, spacing, coords: np.ndarray = None,
+                    skel_dev=None) -> Tuple[np.ndarray, np.ndarray]:
     """Host driver. skel: int label volume (skeleton voxels carry branch
     labels). Returns (lengths[max_label+1] physical units, degree volume
-    uint8 of same-label neighbour counts)."""
+    uint8 of same-label neighbour counts).
+
+    ``coords``: optional (n, d) int voxel coordinates — when given, the
+    degree is gathered at those coordinates ON DEVICE and the second
+    return value is the (n,) gathered vector instead of the full volume
+    (a ~4 MB/frame pull at bench size).  ``skel_dev``: optional
+    device-resident skeleton volume (the fused segmentation loop caches
+    it per frame) — skips the volume upload entirely."""
     skel = np.asarray(skel)
     max_label = int(skel.max()) if skel.size else 0
     nb = _bucket(max_label + 1, 8)
-    # uint16 upload when labels fit (halves the volume's link bytes);
-    # the kernel casts back to int32 on device
-    host_dtype = np.uint16 if 0 <= max_label < (1 << 16) else np.int32
-    lengths, degree = _branch_geometry_kernel(
-        jnp.asarray(skel.astype(host_dtype)).astype(jnp.int32),
-        tuple(float(s) for s in spacing), nb)
+    if skel_dev is not None:
+        skel_in = skel_dev.astype(jnp.int32)
+    else:
+        # uint16 upload when labels fit (halves the volume's link bytes);
+        # the kernel casts back to int32 on device
+        host_dtype = np.uint16 if 0 <= max_label < (1 << 16) else np.int32
+        skel_in = jnp.asarray(skel.astype(host_dtype)).astype(jnp.int32)
+    sp = tuple(float(s) for s in spacing)
+    if coords is not None:
+        cb = _bucket(max(len(coords), 1), 128)
+        cpad = np.zeros((cb, skel.ndim), np.int32)
+        cpad[: len(coords)] = coords
+        lengths, deg_at = _branch_geometry_at_kernel(
+            skel_in, sp, nb, jnp.asarray(cpad))
+        return (np.asarray(lengths)[: max_label + 1],
+                np.asarray(deg_at)[: len(coords)])
+    lengths, degree = _branch_geometry_kernel(skel_in, sp, nb)
     return np.asarray(lengths)[: max_label + 1], np.asarray(degree)
 
 

@@ -264,14 +264,18 @@ def segment_volume(
                     "(sparse)", n_windows, bytes_up / 1e9, bytes_down / 1e9)
         return {"labels": labels.reshape(shape), "n_labels": int(count),
                 "fg_count": fg_count, "label_overflow": label_overflow,
+                "emit": "sparse_labels",
                 "bytes_up": bytes_up, "bytes_down": bytes_down}
     result = np.asarray(out)
     bytes_down = result.nbytes
     logger.info("capacity segment: %d windows, %.2f GB up, %.2f GB down",
                 n_windows, bytes_up / 1e9, bytes_down / 1e9)
     if emit == "mask":
-        return {"mask_packed": result, "fg_count": int(count),
+        return {"mask_packed": result, "fg_count": int(count), "emit": "mask",
                 "bytes_up": bytes_up, "bytes_down": bytes_down}
+    # "emit" records what actually produced the result — the sparse path
+    # falls back here on capacity overflow, and the caller's requested
+    # emit would then mislabel the measured bytes (ADVICE r3)
     return {"labels": result, "n_labels": int(count),
-            "label_overflow": label_overflow,
+            "label_overflow": label_overflow, "emit": "labels",
             "bytes_up": bytes_up, "bytes_down": bytes_down}

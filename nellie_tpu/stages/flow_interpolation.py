@@ -140,19 +140,26 @@ class FlowInterpolator:
         self.check_coords = coords
         self.current_t = t
 
-    def interpolate_coord(self, coords, t, tile: int = _INTERP_TILE):
-        del tile  # kept for API compat; the one-program kernel owns tiling
-        """Interpolated flow vectors (voxel units) at ``coords``; NaN rows
-        where no flow vector is within the radius."""
+    def interpolate_coord_dev(self, coords, t):
+        """Device-resident variant of :meth:`interpolate_coord`: dispatch
+        the interpolation kernel and return the PADDED device result
+        (``(npad, d)`` float32, voxel units, NaN rows where no flow
+        vector is within the radius) without pulling it to host — callers
+        that feed the vectors straight into further device kernels (the
+        hierarchy's motility bundle, the fused reassignment pair program)
+        save a round trip each way over the link.
+
+        Returns ``(result_dev, n)`` — rows ``[:n]`` are the queries in
+        input order — or ``None`` when there are no flow vectors for
+        this timepoint (the host variant's all-NaN case).
+        """
         if self.current_t != t:
             self._select_rows(t)
         coords = np.asarray(coords, float)
-        if coords.size == 0:
-            return np.zeros((0, coords.shape[1] if coords.ndim == 2 else 0))
+        if coords.size == 0 or self.check_coords.shape[0] == 0:
+            return None
         d = coords.shape[1]
         m = self.check_coords.shape[0]
-        if m == 0:
-            return np.full(coords.shape, np.nan)
 
         scaling = np.asarray(self.scaling, float)
         flow_scaled = (self.check_coords * scaling).astype(np.float32)
@@ -184,6 +191,19 @@ class FlowInterpolator:
             jnp.asarray(q), jnp.asarray(qv), jnp.asarray(flow_p), jnp.asarray(fvalid),
             jnp.asarray(vec_p), jnp.asarray(cost_p), jnp.float32(self.max_distance_um),
         )
+        return res, n
+
+    def interpolate_coord(self, coords, t, tile: int = _INTERP_TILE):
+        del tile  # kept for API compat; the one-program kernel owns tiling
+        """Interpolated flow vectors (voxel units) at ``coords``; NaN rows
+        where no flow vector is within the radius."""
+        coords = np.asarray(coords, float)
+        if coords.size == 0:
+            return np.zeros((0, coords.shape[1] if coords.ndim == 2 else 0))
+        out = self.interpolate_coord_dev(coords, t)
+        if out is None:
+            return np.full(coords.shape, np.nan)
+        res, n = out
         return np.asarray(res)[:n].astype(np.float32)
 
 

@@ -220,6 +220,20 @@ _MOTILITY_KEYS = (
 )
 
 
+@partial(jax.jit, static_argnames=("no_z", "has01", "num_labels"))
+def _frame_stats_kernel(coords_px, vec01_px, vec12_px, labels, structure,
+                        intensity, spacing, dt, no_z: bool, has01: bool,
+                        num_labels: int):
+    """Motility bundle + structure/intensity rows as ONE (11, N) device
+    matrix — the frame's full voxel-statistics table in VOXEL_STATS
+    order.  Kept device-resident so the branch/organelle segment
+    reductions consume it without a re-upload; pulled exactly once for
+    the features_voxels CSV."""
+    mot = _motility_kernel(coords_px, vec01_px, vec12_px, labels, spacing,
+                           dt, no_z=no_z, has01=has01, num_labels=num_labels)
+    return jnp.concatenate([mot, structure[None], intensity[None]], axis=0)
+
+
 @partial(jax.jit, static_argnames=())
 def _box_membership_kernel(lims_lo, lims_hi, coords):
     """(M, C) mask: coords[c] inside node r's radius box (inclusive
@@ -476,56 +490,93 @@ class _VoxelLevel:
             self.x = self.coords[:, 2].astype(np.float32)
 
         spacing = np.asarray(h.spacing, np.float32)
-        self.vec01 = np.full((n, d), np.nan, np.float32)
-        self.vec12 = np.full((n, d), np.nan, np.float32)
+        self._spacing = spacing
+        self._n = n
+        self._vec01_px_dev = None
+        self._vec12_px_dev = None
+        self._vec01_np = None
+        self._vec12_np = None
         motility = {k: np.full(n, np.nan, np.float32)
                     for k in VOXEL_STATS if k not in ("structure", "intensity")}
+        self.stats_dev = None  # (11, npad) device matrix, NaN-padded
 
         run_motility = (h.enable_motility and h.flow_interpolator_fw is not None
                         and h.num_t is not None and h.num_t > 1 and n > 0)
+        out01 = out12 = None
         if run_motility:
             coords_f = self.coords.astype(np.float32)
-            vec01_px = vec12_px = None
             # the interpolators cache per-t row selections on themselves —
-            # serialize against concurrently built frames
+            # serialize against concurrently built frames.  Device variant:
+            # the vectors feed straight into the motility kernel below
+            # and are only pulled to host if the node level needs them.
             with h._interp_lock:
                 if t > 0:
-                    vec01_px = np.asarray(
-                        h.flow_interpolator_bw.interpolate_coord(coords_f, t), np.float32)
-                    self.vec01 = vec01_px * spacing
+                    out01 = h.flow_interpolator_bw.interpolate_coord_dev(coords_f, t)
                 if t < h.num_t - 1:
-                    vec12_px = np.asarray(
-                        h.flow_interpolator_fw.interpolate_coord(coords_f, t), np.float32)
-                    self.vec12 = vec12_px * spacing
-            if vec12_px is not None:
-                nb = _bucket(n, 128)
-                lb = _bucket(int(self.branch_labels.max()) + 1 if n else 1, 8)
-                cp = np.zeros((nb, d), np.float32)
-                cp[:n] = coords_f
-                v01 = np.full((nb, d), np.nan, np.float32)
-                if vec01_px is not None:
-                    v01[:n] = vec01_px
-                v12 = np.full((nb, d), np.nan, np.float32)
-                v12[:n] = vec12_px
-                lbl = np.full((nb,), -1, np.int32)
-                lbl[:n] = self.branch_labels
-                out = np.asarray(_motility_kernel(
-                    jnp.asarray(cp), jnp.asarray(v01), jnp.asarray(v12),
-                    jnp.asarray(lbl), jnp.asarray(spacing),
-                    jnp.float32(h.im_info.dim_res["T"] or 1.0),
-                    no_z=h.im_info.no_z, has01=t > 0, num_labels=lb))
-                for i, k in enumerate(_MOTILITY_KEYS):
-                    motility[k] = out[i][:n]
+                    out12 = h.flow_interpolator_fw.interpolate_coord_dev(coords_f, t)
+        if out12 is not None:
+            vec12_dev, _ = out12
+            npad = vec12_dev.shape[0]
+            lb = _bucket(int(self.branch_labels.max()) + 1 if n else 1, 8)
+            cp = np.zeros((npad, d), np.float32)
+            cp[:n] = self.coords
+            lbl = np.full((npad,), -1, np.int32)
+            lbl[:n] = self.branch_labels
+            vec01_dev = (out01[0] if out01 is not None
+                         else jnp.full((npad, d), jnp.nan, jnp.float32))
+            struct_pad = np.full((npad,), np.nan, np.float32)
+            struct_pad[:n] = self.structure
+            inten_pad = np.full((npad,), np.nan, np.float32)
+            inten_pad[:n] = self.intensity
+            self._vec01_px_dev = vec01_dev
+            self._vec12_px_dev = vec12_dev
+            self.stats_dev = _frame_stats_kernel(
+                jnp.asarray(cp), vec01_dev, vec12_dev, jnp.asarray(lbl),
+                jnp.asarray(struct_pad), jnp.asarray(inten_pad),
+                jnp.asarray(spacing),
+                jnp.float32(h.im_info.dim_res["T"] or 1.0),
+                no_z=h.im_info.no_z, has01=t > 0, num_labels=lb)
+            # ONE pull for the whole voxel table (CSV + host consumers)
+            self.stats = np.asarray(self.stats_dev)[:, :n]
+            for i, k in enumerate(_MOTILITY_KEYS):
+                motility[k] = self.stats[i]
+        else:
+            if out01 is not None:  # t == T-1: backward vectors still exist
+                self._vec01_px_dev = out01[0]
+            self.stats = np.stack([
+                motility["linear_vel"], motility["angular_vel"],
+                motility["linear_acc"], motility["angular_acc"],
+                motility["rel_linear_vel"], motility["rel_angular_vel"],
+                motility["rel_linear_acc"], motility["rel_angular_acc"],
+                motility["rel_directionality"],
+                self.structure, self.intensity,
+            ]) if n else np.zeros((len(VOXEL_STATS), 0), np.float32)
         self.motility = motility
 
-        self.stats = np.stack([
-            motility["linear_vel"], motility["angular_vel"],
-            motility["linear_acc"], motility["angular_acc"],
-            motility["rel_linear_vel"], motility["rel_angular_vel"],
-            motility["rel_linear_acc"], motility["rel_angular_acc"],
-            motility["rel_directionality"],
-            self.structure, self.intensity,
-        ]) if n else np.zeros((len(VOXEL_STATS), 0), np.float32)
+    # vec01/vec12 (PHYSICAL units) are only consumed by the node level —
+    # lazily pulled from the device handles so the default skip_nodes run
+    # never pays the (N, d) round trips
+    @property
+    def vec01(self) -> np.ndarray:
+        if self._vec01_np is None:
+            if self._vec01_px_dev is not None:
+                self._vec01_np = (np.asarray(self._vec01_px_dev)[: self._n]
+                                  * self._spacing).astype(np.float32)
+            else:
+                self._vec01_np = np.full(
+                    (self._n, self.coords.shape[1]), np.nan, np.float32)
+        return self._vec01_np
+
+    @property
+    def vec12(self) -> np.ndarray:
+        if self._vec12_np is None:
+            if self._vec12_px_dev is not None:
+                self._vec12_np = (np.asarray(self._vec12_px_dev)[: self._n]
+                                  * self._spacing).astype(np.float32)
+            else:
+                self._vec12_np = np.full(
+                    (self._n, self.coords.shape[1]), np.nan, np.float32)
+        return self._vec12_np
 
     def columns(self) -> dict:
         cols = {}
@@ -760,9 +811,10 @@ class _BranchLevel:
             np.asarray(h.label_components[t])[tuple(first_coords.T)].astype(np.int64)
             if b else np.zeros(0, np.int64))
 
-        # child aggregations
+        # child aggregations (the voxel stats matrix is reused from HBM)
         self.aggregate_voxel_metrics = segment_nanstats(
-            vox.stats, _ids_into(vox.branch_labels, row_labels), b)
+            vox.stats, _ids_into(vox.branch_labels, row_labels), b,
+            values_dev=vox.stats_dev)
         self.aggregate_node_metrics = None
         if nodes is not None:
             self.aggregate_node_metrics = segment_nanstats(
@@ -770,11 +822,14 @@ class _BranchLevel:
 
         spacing = np.asarray(h.spacing, np.float64)
         if b:
-            lengths_all, degree = branch_geometry(skel, spacing)
+            # skeleton volume from the fused loop's device cache when the
+            # same process produced it (zero link bytes); degree gathered
+            # at the skeleton coords on device (vs a full-volume pull)
+            lengths_all, deg_at = branch_geometry(
+                skel, spacing, coords=skel_coords, skel_dev=h._skel_dev(t))
             lengths = lengths_all[row_labels].astype(np.float64)
 
             radii = h._border_distance_cached(t, skel_coords)
-            deg_at = degree[tuple(skel_coords.T)]
             rows = _ids_into(skel_labels, row_labels)
 
             # tip length corrections (hierarchical.py:1694-1713)
@@ -902,7 +957,8 @@ class _ComponentLevel(_BranchLevel):
         o = len(row_labels)
 
         self.aggregate_voxel_metrics = segment_nanstats(
-            vox.stats, _ids_into(vox.component_labels, row_labels), o)
+            vox.stats, _ids_into(vox.component_labels, row_labels), o,
+            values_dev=vox.stats_dev)
         self.aggregate_node_metrics = None
         if nodes is not None:
             self.aggregate_node_metrics = segment_nanstats(
@@ -1137,6 +1193,20 @@ class Hierarchy:
         if self.viewer is not None:
             self.viewer.status = msg
 
+    def _skel_dev(self, t):
+        """The frame's skeleton volume left in HBM by the fused
+        segmentation loop (utils/device_cache), or None when this stage
+        runs standalone.  Popped — Hierarchy is its last consumer."""
+        if self.mesh is not None:
+            # mesh frame-parallel builds run on round-robined devices;
+            # a cached array pinned to device 0 would drag every kernel
+            # back there
+            return None
+        from nellie_tpu.utils.device_cache import frame_cache
+
+        cache = frame_cache(self.im_info)
+        return cache.take("im_skel", t) if cache is not None else None
+
     def _border_distance_cached(self, t, coords):
         """Border distance at skeleton coordinates.  Nodes query
         pixel_class>0 and Branches query im_skel>0 — NEARLY but not
@@ -1159,8 +1229,11 @@ class Hierarchy:
         slot, consumed, entry_lock = entry
         with entry_lock:
             if entry[0] is None:
-                union = (np.asarray(self.im_pixel_class[t]) > 0) \
-                    | (np.asarray(self.im_skel[t]) > 0)
+                # skip_nodes: only Branches consume (im_skel coords) — no
+                # need to read or union the pixel_class frame
+                union = np.asarray(self.im_skel[t]) > 0
+                if not self.skip_nodes:
+                    union = union | (np.asarray(self.im_pixel_class[t]) > 0)
                 ucoords = np.argwhere(union)
                 udist = border_distance(
                     np.asarray(self.im_border_mask[t]) > 0, ucoords, self.spacing)

@@ -13,19 +13,43 @@ TPU-native rebuild of the reference ``VoxelReassigner``
 * label assignment: per-(target, source-label) inverse-distance weighted
   voting with deterministic lexsort tie-breaks, iterated up to
   ``max_refine_iterations`` over still-unassigned targets
-  (``voxel_reassignment.py:429-514,907-993``); the vote bookkeeping is
-  host-side numpy (small candidate lists), the distance work is on TPU
+  (``voxel_reassignment.py:429-514,907-993``)
 * outputs: ``im_branch_label_reassigned`` / ``im_obj_label_reassigned``
   (int32) and ``voxel_matches.npy`` (object array of [prev, next] pairs)
+
+Two execution modes with identical semantics:
+
+* the DEFAULT fused per-pair device pipeline: flow interpolation, NN
+  matching, per-target best-pair selection and both label streams' votes
+  run device-resident per frame pair — per pair only the next frame's
+  coordinate table goes up and two dense vote vectors plus the best-pair
+  indices come down (~0.5 MB at bench size vs ~8 MB and ~10 round trips
+  for the step-by-step path; the label chain state stays in HBM)
+* the step-by-step host path (``low_memory`` rungs and >1-device mesh
+  runs), which is also the oracle the fused path is parity-tested
+  against (``tests/test_flow_reassignment.py``).  Distances in the fused
+  path are computed in float32 on device vs float64 host intermediates,
+  so near-tie votes can differ by a voxel or two per frame — the same
+  tolerance class as the reference's own GPU/CPU split.
 
 No-op for single-timepoint data.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from nellie_tpu.io.verifier import ImInfo
-from nellie_tpu.stages.flow_interpolation import FlowInterpolator
+from nellie_tpu.stages.flow_interpolation import (
+    _INTERP_TILE,
+    _bucket,
+    _interp_all_kernel,
+    FlowInterpolator,
+)
 from nellie_tpu.utils import adaptive_run
 from nellie_tpu.utils.base_logger import logger
 
@@ -287,6 +311,233 @@ class VoxelReassigner:
             best_next = cn[best_idx]
             reassigned_memmap[t + 1][tuple(best_next.T)] = best_labels
 
+    # -- fused device-resident pair pipeline --------------------------------------
+    @staticmethod
+    @partial(jax.jit, static_argnames=("use_pallas",))
+    def _pair_kernel(cp, cp_scaled, cp_valid, cn, cn_scaled, cn_valid,
+                     origin_scaled, origin_post_scaled, vec, cost, fvalid,
+                     prev_branch, prev_obj, next_has_branch, next_has_obj,
+                     scaling, interp_max_d, match_max_d, use_pallas: bool):
+        """One (t, t+1) pair: interpolation → NN → candidate filters →
+        best-pair selection → both label votes, all device-resident.
+
+        cp/cn: (NP, d)/(NN, d) f32 voxel coords (padded 0), *_scaled the
+        physically-scaled copies, *_valid row masks. origin_scaled /
+        origin_post_scaled: (M, d) flow anchors for the fwd/bwd
+        interpolators; vec (M, d) voxel-unit flow; cost (M,).
+        prev_branch/prev_obj: (NP,) int32 reassigned labels at frame t.
+        next_has_*: (NN,) bool (labels present at t+1).
+
+        Returns (best_src (NN,), best_ok (NN,), voted_branch (NN,),
+        voted_obj (NN,)) — everything indexed by the t+1 coordinate table.
+        """
+        from nellie_tpu.kernels.pallas_nn import (
+            nn_argmin_pallas,
+            nn_argmin_xla,
+            _FAR,
+        )
+        from nellie_tpu.kernels.voting import _vote_kernel
+
+        npq = cp.shape[0]
+        nnq = cn.shape[0]
+        d = cp.shape[1]
+
+        # flow interpolation (reference weighting, fi:258-314)
+        vec_f = _interp_all_kernel(cp_scaled, cp_valid, origin_scaled,
+                                   fvalid, vec, cost, interp_max_d)
+        vec_b = _interp_all_kernel(cn_scaled, cn_valid, origin_post_scaled,
+                                   fvalid, vec, cost, interp_max_d)
+
+        def pad8(a, valid, fill):
+            # extra columns are ZERO for valid rows (they cancel in the
+            # distance); invalid rows move entirely to far coordinates
+            out = jnp.zeros((a.shape[0], 8), jnp.float32).at[:, :d].set(a)
+            return jnp.where(valid[:, None], out, fill)
+
+        def nn(queries8, refs8):
+            if use_pallas:
+                return nn_argmin_pallas(queries8, refs8)
+            return nn_argmin_xla(queries8, refs8)
+
+        sp = scaling[None, :]
+        refs_n = pad8(cn_scaled, cn_valid, _FAR)
+        refs_p = pad8(cp_scaled, cp_valid, _FAR)
+
+        # forward: predict t voxels into t+1, match against real t+1 voxels
+        f_ok = cp_valid & ~jnp.isnan(vec_f).any(axis=1)
+        pred_f = (cp + jnp.nan_to_num(vec_f)) * sp
+        _, idx_f = nn(pad8(pred_f, f_ok, _FAR / 2), refs_n)
+        diff_f = (pred_f - cn_scaled[idx_f])
+        d_f = jnp.sqrt(jnp.sum(diff_f * diff_f, axis=1))
+        keep_f = f_ok & (d_f < match_max_d) & cn_valid[idx_f]
+
+        # backward: predict t+1 voxels into t, match against real t voxels
+        b_ok = cn_valid & ~jnp.isnan(vec_b).any(axis=1)
+        pred_b = (cn - jnp.nan_to_num(vec_b)) * sp
+        _, idx_b = nn(pad8(pred_b, b_ok, _FAR / 2), refs_p)
+        diff_b = (pred_b - cp_scaled[idx_b])
+        d_b = jnp.sqrt(jnp.sum(diff_b * diff_b, axis=1))
+        keep_b = b_ok & (d_b < match_max_d) & cp_valid[idx_b]
+
+        # candidate table: fwd rows then bwd rows (the production order)
+        src = jnp.concatenate([jnp.arange(npq, dtype=jnp.int32), idx_b])
+        tgt = jnp.concatenate([idx_f, jnp.arange(nnq, dtype=jnp.int32)])
+        dist = jnp.concatenate([d_f, d_b])
+        keep = jnp.concatenate([keep_f, keep_b])
+        n_cand = npq + nnq
+
+        # per-target best pair by (distance, candidate order) — the
+        # host path's lexsort((distances, target_flat)) semantics
+        sentinel = jnp.int32(np.iinfo(np.int32).max)
+        tgt_k = jnp.where(keep, tgt, sentinel)
+        dist_k = jnp.where(keep, dist, jnp.inf)
+        order = jnp.arange(n_cand, dtype=jnp.int32)
+        tgt_s, _, src_s = jax.lax.sort((tgt_k, dist_k, src), num_keys=3,
+                                       is_stable=True)
+        first = jnp.ones((n_cand,), bool).at[1:].set(tgt_s[1:] != tgt_s[:-1])
+        first = first & (tgt_s != sentinel)
+        best_src = jnp.zeros((nnq,), jnp.int32).at[
+            jnp.where(first, tgt_s, nnq)].set(src_s, mode="drop")
+        best_ok = jnp.zeros((nnq,), bool).at[
+            jnp.where(first, tgt_s, nnq)].set(first, mode="drop")
+
+        # weighted votes, one per label stream (reference vr:907-992)
+        weights = (1.0 / (dist + 1e-6)).astype(jnp.float32)
+
+        def vote(prev_labels, next_has):
+            lbls = prev_labels[src]
+            valid = keep & (lbls > 0) & next_has[tgt]
+            win, vt, vl, _ = _vote_kernel(tgt, lbls.astype(jnp.int32),
+                                          weights, valid)
+            return jnp.zeros((nnq,), jnp.int32).at[
+                jnp.where(win, vt, nnq)].set(jnp.where(win, vl, 0),
+                                             mode="drop")
+
+        voted_branch = vote(prev_branch, next_has_branch)
+        voted_obj = vote(prev_obj, next_has_obj)
+        return best_src, best_ok, voted_branch, voted_obj
+
+    def _flow_rows_padded(self, t, d):
+        """Padded flow-row device inputs for pair (t, t+1): (origin_scaled,
+        origin_post_scaled, vec, cost, valid) or None when no rows."""
+        fva = self.flow_interpolator_fw.flow_vector_array
+        rows = fva[fva[:, 0] == t]
+        m = len(rows)
+        if m == 0:
+            return None
+        scaling = np.asarray(self.flow_interpolator_fw.scaling, np.float64)
+        origins = rows[:, 1 : 1 + d]
+        vecs = rows[:, 1 + d : 1 + 2 * d]
+        mb = _bucket(m)
+        o_s = np.zeros((mb, d), np.float32)
+        o_s[:m] = origins * scaling
+        op_s = np.zeros((mb, d), np.float32)
+        op_s[:m] = (origins + vecs) * scaling
+        v = np.zeros((mb, d), np.float32)
+        v[:m] = vecs
+        c = np.zeros((mb,), np.float32)
+        c[:m] = rows[:, -1]
+        valid = np.zeros((mb,), bool)
+        valid[:m] = True
+        return tuple(jnp.asarray(a) for a in (o_s, op_s, v, c, valid))
+
+    def _frame_table(self, t):
+        """Device-resident coordinate table for frame t's master mask:
+        (coords_np, cp_dev, cp_scaled_dev, valid_dev) or None if empty."""
+        coords = np.argwhere(self._get_master_mask(t))
+        n = len(coords)
+        if n == 0:
+            return None
+        d = coords.shape[1]
+        scaling = np.asarray(self.flow_interpolator_fw.scaling, np.float64)
+        nb = _bucket(n, _INTERP_TILE)
+        cp = np.zeros((nb, d), np.float32)
+        cp[:n] = coords
+        cs = np.zeros((nb, d), np.float32)
+        cs[:n] = coords * scaling
+        valid = np.zeros((nb,), bool)
+        valid[:n] = True
+        return (coords, jnp.asarray(cp), jnp.asarray(cs), jnp.asarray(valid))
+
+    def _run_reassignment_fused(self):
+        """Sequential pair chain with the device-resident pair kernel.
+        The reassigned label state at frame t's coordinates stays in HBM
+        between pairs; memmaps receive the same writes as the host path."""
+        import jax as _jax
+
+        use_pallas = _jax.devices()[0].platform == "tpu"
+        d = 2 if self.im_info.no_z else 3
+        scaling = jnp.asarray(self.flow_interpolator_fw.scaling, jnp.float32)
+        interp_d = jnp.float32(self.flow_interpolator_fw.max_distance_um)
+        match_d = jnp.float32(self.flow_interpolator_fw.max_distance_um)
+
+        match_dtype = np.uint16 if max(self.spatial_shape) < 2**16 else np.uint32
+        table = self._frame_table(0)
+        prev_branch_dev = prev_obj_dev = None
+        for t in range(self.num_t - 1):
+            if self.viewer is not None:
+                self.viewer.status = f"Reassigning voxels. Frame: {t + 1} of {self.num_t}."
+            logger.info(f"Reassigning pixels between frames {t} and {t + 1}")
+            next_table = self._frame_table(t + 1)
+            if table is None or next_table is None:
+                logger.info(f"No voxels to match between frames {t} and {t + 1}; stopping.")
+                break
+            flow = self._flow_rows_padded(t, d)
+            if flow is None:
+                logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
+                break
+            coords_p, cp, cp_s, cp_valid = table
+            coords_n, cn, cn_s, cn_valid = next_table
+
+            if prev_branch_dev is None:
+                pb = np.zeros((cp.shape[0],), np.int32)
+                pb[: len(coords_p)] = self.reassigned_branch_memmap[t][
+                    tuple(coords_p.T)]
+                po = np.zeros((cp.shape[0],), np.int32)
+                po[: len(coords_p)] = self.reassigned_obj_memmap[t][
+                    tuple(coords_p.T)]
+                prev_branch_dev = jnp.asarray(pb)
+                prev_obj_dev = jnp.asarray(po)
+
+            nh_b = np.zeros((cn.shape[0],), bool)
+            nh_b[: len(coords_n)] = self.branch_label_memmap[t + 1][
+                tuple(coords_n.T)] > 0
+            nh_o = np.zeros((cn.shape[0],), bool)
+            nh_o[: len(coords_n)] = self.obj_label_memmap[t + 1][
+                tuple(coords_n.T)] > 0
+
+            best_src, best_ok, voted_branch, voted_obj = self._pair_kernel(
+                cp, cp_s, cp_valid, cn, cn_s, cn_valid,
+                *flow, prev_branch_dev, prev_obj_dev,
+                jnp.asarray(nh_b), jnp.asarray(nh_o),
+                scaling, interp_d, match_d, use_pallas=use_pallas)
+
+            # ~0.5 MB down: vote vectors + best-pair indices
+            vb = np.asarray(voted_branch)[: len(coords_n)]
+            vo = np.asarray(voted_obj)[: len(coords_n)]
+            ok = np.asarray(best_ok)[: len(coords_n)]
+            src = np.asarray(best_src)[: len(coords_n)]
+
+            if not ok.any():
+                logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
+                break
+
+            if self.store_running_matches:
+                self.running_matches.append([
+                    coords_p[src[ok]].astype(match_dtype),
+                    coords_n[ok].astype(match_dtype)])
+
+            wb = vb > 0
+            self.reassigned_branch_memmap[t + 1][tuple(coords_n[wb].T)] = vb[wb]
+            wo = vo > 0
+            self.reassigned_obj_memmap[t + 1][tuple(coords_n[wo].T)] = vo[wo]
+            self.reassigned_branch_memmap.flush()
+            self.reassigned_obj_memmap.flush()
+
+            table = next_table
+            prev_branch_dev = voted_branch
+            prev_obj_dev = voted_obj
+
     # -- memory / driver -----------------------------------------------------------
     def _get_t(self):
         if self.num_t is None:
@@ -334,6 +585,18 @@ class VoxelReassigner:
         self.running_matches = []
         match_dtype = np.uint16 if max(self.spatial_shape) < 2**16 else np.uint32
         n_pairs = self.num_t - 1
+
+        # default: the fused device-resident pair pipeline (docstring at
+        # the top of this module).  The step-by-step path remains for the
+        # ladder's low-memory rungs and multi-device mesh runs (where the
+        # candidate window round-robins devices).
+        if not self.low_memory and (
+                self.mesh is None or self.mesh.devices.size == 1):
+            self._run_reassignment_fused()
+            if self.store_running_matches and self.voxel_matches_path is not None:
+                np.save(self.voxel_matches_path,
+                        np.array(self.running_matches, dtype=object))
+            return
 
         # mesh frame-parallelism: the heavy phase (flow interpolation +
         # MXU NN matching over all foreground voxels) is independent per

@@ -21,23 +21,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_volume(edge: int, seed: int = 0) -> np.ndarray:
+    """Synthetic lightsheet-like volume, generated slab-wise straight
+    into the uint16 result buffer: peak host memory is the 2.1 GB output
+    plus one float32 slab (~34 MB), not 3 full-volume temporaries
+    (ADVICE r3: the old full-float32 path transiently held ~10.7 GB)."""
     rng = np.random.default_rng(seed)
-    vol = rng.normal(100.0, 8.0, (edge, edge, edge)).astype(np.float32)
-    # ~40 bright tubes along random axes, drawn block-sparsely so the
-    # generator stays fast at gigavoxel scale
+    # ~40 bright tubes along random axes, materialised per-slab below
     n_tubes = max(8, edge // 25)
+    tubes = []
     for _ in range(n_tubes):
-        axis = rng.integers(0, 3)
+        axis = int(rng.integers(0, 3))
         c = rng.integers(8, edge - 8, size=2)
         r = int(rng.integers(2, 4))
-        lo, hi = sorted(rng.integers(0, edge, size=2))
+        lo, hi = sorted(int(v) for v in rng.integers(0, edge, size=2))
         if hi - lo < edge // 8:
             hi = min(edge, lo + edge // 8)
         sl = [slice(int(c[0]) - r, int(c[0]) + r + 1),
               slice(int(c[1]) - r, int(c[1]) + r + 1)]
         sl.insert(axis, slice(lo, hi))
-        vol[tuple(sl)] += 400.0
-    return np.clip(vol, 0, 65535).astype(np.uint16)
+        tubes.append(tuple(sl))
+
+    out = np.empty((edge, edge, edge), np.uint16)
+    slab = 8
+    for z0 in range(0, edge, slab):
+        z1 = min(z0 + slab, edge)
+        block = rng.normal(100.0, 8.0, (z1 - z0, edge, edge)).astype(np.float32)
+        for sl in tubes:
+            zs = sl[0]
+            izlo, izhi = max(zs.start, z0), min(zs.stop, z1)
+            if izlo < izhi:
+                block[izlo - z0:izhi - z0, sl[1], sl[2]] += 400.0
+        np.clip(block, 0, 65535, out=block)
+        out[z0:z1] = block.astype(np.uint16)
+    return out
 
 
 def main() -> None:
@@ -45,6 +61,8 @@ def main() -> None:
     ap.add_argument("--edge", type=int, default=1024)
     ap.add_argument("--emit", default="sparse_labels",
                     choices=["labels", "sparse_labels", "mask"])
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the small-volume compile warmup")
     args = ap.parse_args()
 
     from nellie_tpu.kernels import frangi as frangi_k
@@ -55,6 +73,18 @@ def main() -> None:
     gen_s = time.perf_counter() - t0
     params = frangi_k.FrangiParams(
         sigmas=(0.75, 1.1, 1.6), spacing=(1.0, 1.0, 1.0), z_ratio=1.0)
+
+    # warm the window kernel's compile cache: a volume a little larger
+    # than one chunk compiles _accumulate_window at the SAME window shape
+    # the big run uses, so the timed loop pays zero per-window compiles
+    # (the full-volume _segment_from_vessel compile is shape-bound to
+    # edge^3 and unavoidable; it is reported separately below)
+    warm_s = None
+    if not args.no_warmup and args.edge > 384:
+        t_w = time.perf_counter()
+        capacity.segment_volume(make_volume(384, seed=1), params, emit=args.emit)
+        warm_s = round(time.perf_counter() - t_w, 1)
+        print(f"[capacity] warmup (384^3): {warm_s}s", file=sys.stderr)
 
     t1 = time.perf_counter()
     out = capacity.segment_volume(vol, params, emit=args.emit)
@@ -67,6 +97,10 @@ def main() -> None:
         "unit": "Mvox/s",
         "seconds": round(seg_s, 1),
         "gen_seconds": round(gen_s, 1),
+        "warmup_seconds": warm_s,
+        # what actually ran: sparse capacity overflow silently falls back
+        # to the dense emit inside segment_volume (ADVICE r3)
+        "effective_emit": out.get("emit", args.emit),
         "bytes_up_gb": round(out["bytes_up"] / 1e9, 3),
         "bytes_down_gb": round(out["bytes_down"] / 1e9, 3),
         "n_labels": out.get("n_labels"),

@@ -113,6 +113,34 @@ def test_voxel_reassigner_propagates_labels(tmp_path):
     assert prev.shape == nxt.shape and prev.shape[1] == 3
 
 
+def test_voxel_reassigner_fused_matches_host_path(tmp_path):
+    """Mode parity: the default fused device pair pipeline and the
+    step-by-step host path (the low_memory rung / mesh-window path) must
+    produce the same artifacts.  Distances are f32 on device vs f64 host
+    intermediates, so a tiny near-tie budget is allowed on the labels."""
+    from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
+
+    (tmp_path / "fused").mkdir()
+    (tmp_path / "host").mkdir()
+    im_fused, _, _ = _setup_moving_blobs(tmp_path / "fused")
+    VoxelReassigner(im_fused).run()
+    im_host, _, _ = _setup_moving_blobs(tmp_path / "host")
+    VoxelReassigner(im_host, low_memory=True).run()
+
+    for key in ("im_obj_label_reassigned", "im_branch_label_reassigned"):
+        a = np.asarray(im_fused.get_memmap(im_fused.pipeline_paths[key]))
+        b = np.asarray(im_host.get_memmap(im_host.pipeline_paths[key]))
+        mismatch = (a != b).mean()
+        assert mismatch <= 1e-3, f"{key}: {mismatch:.5f} mismatch"
+
+    ma = np.load(im_fused.pipeline_paths["voxel_matches"], allow_pickle=True)
+    mb = np.load(im_host.pipeline_paths["voxel_matches"], allow_pickle=True)
+    assert len(ma) == len(mb)
+    for (pa, na), (pb, nb) in zip(ma, mb):
+        np.testing.assert_array_equal(na, nb)
+        np.testing.assert_array_equal(pa, pb)
+
+
 def test_assign_unique_matches_one_to_one():
     from nellie_tpu.stages.voxel_reassignment import VoxelReassigner
 
