@@ -50,9 +50,10 @@ class PipelineStepParams:
     """Static configuration of the dense pipeline step.
 
     The caps bound the fixed-capacity dense formulations of the
-    data-dependent stages; :func:`full_pipeline_step` checks the true
-    per-frame counts against them after the run and (by default) retries
-    with grown caps instead of silently truncating."""
+    data-dependent stages.  :func:`full_pipeline_step` treats them as
+    MINIMUMS: the segment + dense phases run first and return the true
+    per-frame counts, and the capacity phase compiles with exactly-sized
+    (bucketed) tables — overflow re-runs are structurally impossible."""
 
     frangi: frangi_k.FrangiParams
     markers: MarkerParams
@@ -75,9 +76,9 @@ def _topk_coords(score_flat: jnp.ndarray, shape, k: int):
     return coords, vals > 0
 
 
-def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
-    """Stages 3-4 dense + fixed-capacity stage-5/7 per-frame features,
-    given the segment step's outputs. Pure function — vmap/shard freely."""
+def _network_markers_frame(frame, vessel, labels, p: PipelineStepParams):
+    """Stages 3-4 dense for one frame (no capacities involved).
+    Pure function — vmap/shard freely."""
     no_z = frame.ndim == 2
     mask = labels > 0
 
@@ -93,6 +94,28 @@ def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
 
     # Markers (stage 4)
     marker, distance, border = markers_frame_distance(frame, mask, p.markers)
+    return {
+        "skel": skel,
+        "pixel_class": pixel_class,
+        "branch_labels": branch_labels,
+        "marker": marker,
+        "distance": distance,
+        "border": border,
+        "n_fg": jnp.sum(mask).astype(jnp.int32),
+        "n_markers": jnp.sum(marker.astype(jnp.int32)),
+        "max_branch": jnp.max(branch_labels).astype(jnp.int32),
+    }
+
+
+def _capacity_frame(frame, vessel, labels, n_labels, dense,
+                    p: PipelineStepParams):
+    """Fixed-capacity stage-5/7 per-frame tables from the dense stage
+    outputs — the capacities in ``p`` are EXACT by the time this runs
+    (derived from the dense phase's counts)."""
+    no_z = frame.ndim == 2
+    mask = labels > 0
+    marker, distance, branch_labels = (
+        dense["marker"], dense["distance"], dense["branch_labels"])
 
     # stage 5 inputs: fixed-capacity marker set + MXU moment features
     mscore = distance * marker.astype(jnp.float32)
@@ -115,18 +138,7 @@ def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
     vstructure = jnp.where(vvalid, vessel[vat], jnp.nan)
 
     spacing = jnp.asarray(p.sampling, jnp.float32)
-    out = {
-        "vessel": vessel,
-        "labels": labels,
-        "n_labels": n_labels,
-        "n_fg": jnp.sum(mask).astype(jnp.int32),
-        "n_markers": jnp.sum(marker.astype(jnp.int32)),
-        "skel": skel,
-        "pixel_class": pixel_class,
-        "branch_labels": branch_labels,
-        "marker": marker,
-        "distance": distance,
-        "border": border,
+    return {
         "marker_coords": mcoords,
         "marker_coords_phys": mcoords.astype(jnp.float32) * spacing[None],
         "marker_valid": mvalid,
@@ -140,6 +152,17 @@ def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
         "voxel_intensity": vintensity,
         "voxel_structure": vstructure,
     }
+
+
+def _post_segment_frame(frame, vessel, labels, n_labels, p: PipelineStepParams):
+    """Stages 3-4 dense + fixed-capacity stage-5/7 per-frame features,
+    given the segment step's outputs. Pure function — vmap/shard freely."""
+    dense = _network_markers_frame(frame, vessel, labels, p)
+    out = _capacity_frame(frame, vessel, labels, n_labels, dense, p)
+    out.update(dense)
+    out["vessel"] = vessel
+    out["labels"] = labels
+    out["n_labels"] = n_labels
     return out
 
 
@@ -173,14 +196,45 @@ def _match_pair(coords_post, coords_pre, feats_post, feats_pre,
             jnp.where(ok, rmv, 0.0), origin)
 
 
-def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
-    """Two-phase sharding: the wide-stencil segment phase (Frangi
-    cascade + Hessian + thresholds + CC) runs (t, z)-sharded — few, wide
-    halo exchanges amortise well over ICI — then the batch reshards to
+def _build_segment_dense_phase(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
+    """Phase 1+2: the wide-stencil segment phase (Frangi cascade +
+    Hessian + thresholds + CC) runs (t, z)-sharded — few, wide halo
+    exchanges amortise well over ICI — then the batch reshards to
     frame-parallel P('t') for the iterative fixpoint stages (thinning,
     JFA, marker NMS): their hundreds of sequential sub-iterations would
     be halo-exchange latency-bound under spatial sharding, so
-    data-parallel-by-frame is the faster layout for them."""
+    data-parallel-by-frame is the faster layout for them.
+
+    Returns (vessel, labels, n_labels, dense) — everything dense, no
+    capacities involved, so the TRUE per-frame counts (n_fg, n_markers,
+    max_branch) come back and size the capacity phase exactly
+    (VERDICT r3 #5: no overflow double-runs)."""
+
+    def phase(batch):
+        spec_tz = [None] * batch.ndim
+        spec_tz[0] = "t"
+        if shard_z:
+            spec_tz[1] = "z"
+        batch = lax.with_sharding_constraint(batch, NamedSharding(mesh, P(*spec_tz)))
+        vessel, labels, n_labels = jax.vmap(
+            lambda f: _segment_step(f, p.frangi, p.min_area))(batch)
+
+        t_only = NamedSharding(mesh, P("t"))
+        batch_t = lax.with_sharding_constraint(batch, t_only)
+        vessel = lax.with_sharding_constraint(vessel, t_only)
+        labels = lax.with_sharding_constraint(labels, t_only)
+        dense = jax.vmap(
+            lambda f, v, l: _network_markers_frame(f, v, l, p))(
+            batch_t, vessel, labels)
+        return vessel, labels, n_labels, dense
+
+    return phase
+
+
+def _build_capacity_step(p: PipelineStepParams, mesh: Mesh):
+    """Phase 3: fixed-capacity tables + tracking/matching/reassignment/
+    hierarchy across consecutive frames.  ``p``'s capacities are exact
+    (derived from phase 1+2's counts) by the time this compiles."""
 
     from nellie_tpu.kernels.voting import _vote_kernel
     from nellie_tpu.stages.flow_interpolation import _interp_tile_body
@@ -210,23 +264,19 @@ def _build_batch_step(p: PipelineStepParams, mesh: Mesh, shard_z: bool):
         return _interp_tile_body(query_phys, query_valid, origin_phys,
                                  flow_valid, vec_phys, cost, interp_d)
 
-    def step(batch):
-        spec_tz = [None] * batch.ndim
-        spec_tz[0] = "t"
-        if shard_z:
-            spec_tz[1] = "z"
-        batch = lax.with_sharding_constraint(batch, NamedSharding(mesh, P(*spec_tz)))
-        vessel, labels, n_labels = jax.vmap(
-            lambda f: _segment_step(f, p.frangi, p.min_area))(batch)
-
+    def step(batch, vessel, labels, n_labels, dense):
         t_only = NamedSharding(mesh, P("t"))
         batch_t = lax.with_sharding_constraint(batch, t_only)
-        vessel = lax.with_sharding_constraint(vessel, t_only)
-        labels = lax.with_sharding_constraint(labels, t_only)
 
         per = jax.vmap(
-            lambda f, v, l, n: _post_segment_frame(f, v, l, n, p))(
-            batch_t, vessel, labels, n_labels)
+            lambda f, v, l, n, dn: _capacity_frame(f, v, l, n, dn, p))(
+            batch_t, vessel, labels, n_labels, dense)
+        per = dict(per)
+        for k in ("skel", "pixel_class", "branch_labels", "marker",
+                  "distance", "border", "n_fg", "n_markers"):
+            per[k] = dense[k]
+        per["labels"] = labels
+        per["n_labels"] = n_labels
 
         # stage 5: match markers of frame t -> t+1 (vmap over frame pairs);
         # rows anchored at the pre-frame marker (reference flow rows)
@@ -383,11 +433,14 @@ def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh,
     (t = data parallel; z = spatial parallel for the segment phase).
     Returns a host-side dict of numpy arrays.
 
-    The fixed capacities (marker/voxel) are CHECKED against the true
-    per-frame counts returned by the step: on overflow a warning is
-    logged and — with ``adaptive_caps`` (default) — the step re-runs once
-    with power-of-two-grown caps, so no silent top-k truncation survives
-    in the results."""
+    Capacity sizing (VERDICT r3 #5): the segment + dense network/markers
+    phases run FIRST (no capacities involved) and return the true
+    per-frame counts — fg voxels, markers, label/branch id maxima — as a
+    few scalars per frame; the capacity phase then compiles with
+    exactly-sized (power-of-two bucketed, ``p``'s caps as minimums)
+    tables and consumes the phase-1 arrays straight from HBM.  Overflow
+    re-runs are structurally impossible; ``adaptive_caps=False`` pins
+    ``p``'s caps verbatim (top-k truncation, for tests)."""
     from nellie_tpu.utils.base_logger import logger
 
     batch = jnp.asarray(batch, jnp.float32)
@@ -401,40 +454,44 @@ def full_pipeline_step(batch, p: PipelineStepParams, mesh: Mesh,
     in_sharding = NamedSharding(mesh, P(*spec))
     batch_dev = jax.device_put(batch, in_sharding)
 
-    for _attempt in range(2):
-        fn = jax.jit(_build_batch_step(p, mesh, shard_z), in_shardings=in_sharding)
-        out = {k: np.asarray(v) for k, v in fn(batch_dev).items()}
-        n_fg = int(out["n_fg"].max())
-        n_mk = int(out["n_markers"].max())
-        n_lb = int(out["n_labels"].max())
-        n_br = int(out["branch_labels"].max())
+    phase1 = jax.jit(_build_segment_dense_phase(p, mesh, shard_z),
+                     in_shardings=in_sharding)
+    vessel, labels, n_labels, dense = phase1(batch_dev)
+
+    # true counts: a handful of scalars per frame cross the link
+    n_fg = int(np.asarray(dense["n_fg"]).max())
+    n_mk = int(np.asarray(dense["n_markers"]).max())
+    n_lb = int(np.asarray(n_labels).max())
+    n_br = int(np.asarray(dense["max_branch"]).max())
+    if adaptive_caps:
+        from dataclasses import replace
+
+        # label/branch ids are 1-based: id == cap falls into the stats
+        # kernels' overflow bucket, so the caps must exceed the max id
+        p_run = replace(p,
+                        voxel_cap=_bucket_pow2(max(n_fg, 1), p.voxel_cap),
+                        marker_cap=_bucket_pow2(max(n_mk, 1), p.marker_cap),
+                        label_cap=_bucket_pow2(n_lb + 1, p.label_cap),
+                        branch_cap=_bucket_pow2(n_br + 1, p.branch_cap))
+    else:
+        p_run = p
         over = []
         if n_fg > p.voxel_cap:
             over.append(f"voxel_cap {p.voxel_cap} < {n_fg} fg voxels")
         if n_mk > p.marker_cap:
             over.append(f"marker_cap {p.marker_cap} < {n_mk} markers")
-        # label/branch ids are 1-based: id == cap falls into the stats
-        # kernels' overflow bucket, so the caps must exceed the max id
         if n_lb >= p.label_cap:
             over.append(f"label_cap {p.label_cap} <= {n_lb} labels")
         if n_br >= p.branch_cap:
             over.append(f"branch_cap {p.branch_cap} <= {n_br} branches")
-        if not over:
-            return out
-        logger.warning(
-            "pipeline_step capacity overflow (%s)%s", "; ".join(over),
-            " — retrying with grown caps" if adaptive_caps and _attempt == 0
-            else " — results are top-k truncated")
-        if not adaptive_caps or _attempt == 1:
-            return out
-        from dataclasses import replace
+        if over:
+            logger.warning("pipeline_step capacity overflow (%s) — results "
+                           "are top-k truncated", "; ".join(over))
 
-        p = replace(p,
-                    voxel_cap=_bucket_pow2(n_fg, p.voxel_cap),
-                    marker_cap=_bucket_pow2(n_mk, p.marker_cap),
-                    label_cap=_bucket_pow2(n_lb + 1, p.label_cap),
-                    branch_cap=_bucket_pow2(n_br + 1, p.branch_cap))
-    return out
+    phase3 = jax.jit(_build_capacity_step(p_run, mesh))
+    out = phase3(batch_dev, vessel, labels, n_labels, dense)
+    result = {k: np.asarray(v) for k, v in out.items()}
+    return result
 
 
 def default_step_params(spacing=(0.5, 0.2, 0.2), no_z=False,

@@ -364,11 +364,71 @@ class FusedSegmentation:
             t, dense("marker", np.uint8), dense("distance", np.float32),
             dense("border", np.uint8))
 
+    # -- sharded whole-batch execution (multi-chip production path) -------
+    def _run_batch_mesh(self):
+        """All frames as ONE sharded program over the mesh: the stencil-
+        heavy Filter+Label phase runs (t, z)-sharded (GSPMD halo
+        exchange + all-reduced thresholds), the iterative fixpoint
+        stages (thinning, JFA, NMS) reshard to frame-parallel P('t') —
+        the production counterpart of ``mesh/pipeline_step.py``'s dense
+        formulation, executing the SAME per-frame programs as the
+        sequential fused loop, so artifacts are identical to
+        single-device ``run()`` (validated by the driver's
+        ``dryrun_multichip`` and ``tests/test_mesh.py``)."""
+        import jax.sharding as jsh
+        from jax import lax
+        from nellie_tpu.mesh.sharded import batch_sharding
+
+        mesh = self.mesh
+        t_frames = self.num_t
+        batch = np.ascontiguousarray(self.filter.im_memmap[:t_frames])
+        # the t axis must divide evenly across the mesh's t extent — pad
+        # with zero frames (they segment to empty and are discarded)
+        t_extent = int(mesh.shape.get("t", 1))
+        pad_t = (-t_frames) % t_extent
+        if pad_t:
+            batch = np.concatenate(
+                [batch, np.zeros((pad_t,) + batch.shape[1:], batch.dtype)])
+        in_sharding = batch_sharding(mesh, batch.shape[1:])
+        t_only = jsh.NamedSharding(mesh, jsh.PartitionSpec("t"))
+
+        def prog(b):
+            b = lax.with_sharding_constraint(b, in_sharding)
+            frangi = jax.vmap(self._frame_filter)(b)
+            labels = jax.vmap(self._frame_label)(b, frangi)
+            b_t = lax.with_sharding_constraint(b, t_only)
+            frangi_t = lax.with_sharding_constraint(frangi, t_only)
+            labels_t = lax.with_sharding_constraint(labels, t_only)
+            skel, pixel_class, branch = jax.vmap(self._frame_network)(
+                labels_t, frangi_t)
+            marker, distance, border = jax.vmap(self._frame_markers)(
+                b_t, labels_t, frangi_t)
+            return jax.vmap(_sparse_pull_bundle)(
+                {"frangi": frangi_t, "labels": labels_t, "skel": skel,
+                 "pixel_class": pixel_class, "branch": branch,
+                 "distance": distance, "marker": marker, "border": border})
+
+        logger.info("Fused segmentation (sharded batch): %d frames over "
+                    "mesh %s", t_frames,
+                    dict(zip(mesh.axis_names, mesh.devices.shape)))
+        t0 = time.perf_counter()
+        pulls_all = jax.jit(prog)(jax.device_put(batch, in_sharding))
+        for t in range(t_frames):
+            pulls = {"dense": {k: v[t] for k, v in pulls_all["dense"].items()}}
+            if "blob" in pulls_all:
+                pulls["blob"] = pulls_all["blob"][t]
+            self._write_frame(t, pulls)
+        return {"seg_batch": time.perf_counter() - t0}
+
     def run(self, fence_stages: bool = False):
         """Returns a per-stage device-time dict when ``fence_stages``
         (diagnostic; fencing serialises the pipeline), else {}."""
         self._fence = fence_stages
         self._setup()
+        if (self.mesh is not None and self.num_t > 1
+                and int(self.mesh.shape.get("t", 1)) > 1):
+            self.stage_times = self._run_batch_mesh()
+            return self.stage_times
         placement = self._placement(
             self.filter.im_memmap.shape[1:])
         stage_totals = {}

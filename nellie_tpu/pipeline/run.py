@@ -38,11 +38,16 @@ def run(
 ):
     """Run the full pipeline on a prepared :class:`FileInfo`.
 
-    ``mesh``: optional ``jax.sharding.Mesh`` with a ``"z"`` axis — the
+    ``mesh``: optional ``jax.sharding.Mesh``.  With a ``"z"`` axis the
     per-frame segmentation kernels (Filter/Label/Network/Markers) are
-    then GSPMD-sharded over its spatial axis (multi-chip; see
-    ``nellie_tpu.mesh``).  Results match single-device execution to
-    float-reassociation tolerance (~1e-6).
+    GSPMD-sharded over the spatial axis; with a ``"t"`` axis (>1) the
+    fused path executes the WHOLE frame batch as one sharded program
+    (frames data-parallel over ``t``, spatially sharded over ``z`` for
+    the stencil phase — ``pipeline/fused.py:_run_batch_mesh``) and
+    tracking/reassignment/hierarchy run their mesh frame-parallel paths.
+    Artifacts match single-device execution (discrete artifacts exactly
+    for t-only sharding; to float-reassociation tolerance when spatial
+    sharding is active — see the driver dryrun and tests/test_mesh.py).
 
     ``warm_start``: compile the later stages' XLA programs in background
     threads (on shape-true shadow data) while Filter owns the device, so
@@ -127,8 +132,10 @@ def run(
         stage.run()
         timings[name] = time.perf_counter() - start
 
-    use_fused = bool(fused) and not low_memory and not (
-        mesh is not None and int(mesh.shape.get("t", 1)) > 1)
+    # mesh with a t-axis: the fused path executes the whole frame batch
+    # as one sharded program (FusedSegmentation._run_batch_mesh) — the
+    # production multi-chip path, artifacts identical to single-device
+    use_fused = bool(fused) and not low_memory
 
     try:
         if use_fused:
