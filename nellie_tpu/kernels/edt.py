@@ -6,13 +6,21 @@ The reference uses ``scipy.ndimage.distance_transform_edt`` twice:
 * Network: per-object nearest-*seed* indices with anisotropic sampling to
   propagate branch labels to whole objects (``networking.py:485-577``)
 
-Jump flooding computes, for every voxel, (an approximation of) the
-nearest seed in O(log n) dense passes — each pass shifts the current
-best-seed buffers by ±step along every axis combination and keeps the
-closer candidate under the anisotropic metric.  We run the classic
-JFA+1 variant (an extra step-1 pass) which makes errors vanishingly
-rare; exactness is not required by either consumer (peak detection /
-label propagation with arbitrary tie-breaks).
+``distance_transform`` (the Markers consumer — feeds the distance
+artifact, LoG validity masking and, downstream, hierarchy node widths)
+is EXACT: squared EDT factorises into per-axis 1-D min-plus transforms
+(Felzenszwalb & Huttenlocher 2012) evaluated as a windowed dense
+sweep, which is both exact and TPU-friendly (pure shifted-add/min VPU
+streaming, no data-dependent envelope stack).
+
+``nearest_seed`` (argmin-carry: *which* seed, not just how far) uses
+jump flooding: O(log n) dense passes, each shifting the best-seed
+buffers by ±step along every axis combination and keeping the closer
+candidate under the anisotropic metric.  We run the classic JFA+1
+variant (an extra step-1 pass); errors are vanishingly rare and its
+only consumer is branch-label propagation where ties break arbitrarily
+(``stages/networking.py:128``) — quantified by the adversarial property
+tests in ``tests/test_edt.py``.
 
 The per-object constraint (a voxel may only adopt seeds belonging to its
 own instance label) is enforced by carrying the seed's object id and
@@ -164,15 +172,59 @@ def nearest_seed(
     return labels, dist
 
 
+def _minplus_axis(f_sq: jnp.ndarray, axis: int, radius: int, s: float) -> jnp.ndarray:
+    """Windowed exact 1-D min-plus (squared-distance) transform along ``axis``.
+
+    out[i] = min_{|k| <= radius} f_sq[i+k] + (k*s)^2, with out-of-bounds
+    f_sq treated as +inf (the array border is not background, matching
+    scipy.ndimage.distance_transform_edt).  This is the naive O(n*radius)
+    evaluation of the Felzenszwalb/Huttenlocher lower envelope — on TPU
+    the data-dependent envelope stack is hostile (sequential, dynamic),
+    while a fori_loop of shifted adds is pure VPU streaming.
+    """
+    n = f_sq.shape[axis]
+    pad = [(0, 0)] * f_sq.ndim
+    pad[axis] = (radius, radius)
+    fp = jnp.pad(f_sq, pad, constant_values=jnp.inf)
+
+    def body(k, out):
+        shifted = lax.dynamic_slice_in_dim(fp, k, n, axis)
+        d = ((k - radius).astype(jnp.float32) * jnp.float32(s)) ** 2
+        return jnp.minimum(out, shifted + d)
+
+    return lax.fori_loop(0, 2 * radius + 1, body, jnp.full(f_sq.shape, jnp.inf, jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("sampling", "max_radius_px"))
 def distance_transform(mask: jnp.ndarray, sampling: Tuple[float, ...] = None,
                        max_radius_px: Optional[int] = None) -> jnp.ndarray:
     """Distance from each True voxel to the nearest False voxel
-    (scipy.ndimage.distance_transform_edt semantics), via JFA+1.
+    (scipy.ndimage.distance_transform_edt semantics), via an EXACT
+    separable min-plus transform (squared EDT factorises per axis:
+    Felzenszwalb & Huttenlocher 2012, evaluated as windowed dense
+    min-plus — see ``_minplus_axis``).
 
-    ``max_radius_px`` bounds the search (distances beyond it saturate at
-    >= max_radius_px, exact below it) for callers that clamp anyway."""
-    seeds = jnp.where(~mask, 1, 0).astype(jnp.int32)
-    _, dist = nearest_seed(seeds, None, sampling, max_radius_px)
+    ``max_radius_px`` bounds the per-axis search window.  Within the
+    bound the result is *exact* (bit-identical to scipy up to f32
+    rounding): any voxel whose true distance is <= max_radius_px *
+    min(sampling) has per-axis pixel offsets to its nearest background
+    voxel of at most max_radius_px, so the windowed min-plus finds it;
+    beyond the bound every surviving candidate is a real background
+    voxel so the result only ever *over*-estimates — safe for callers
+    that clamp at <= the bound (Markers clamps at 2*max_radius_px with
+    window 2*max_radius_px+1, ``stages/mocap_marking.py:83-85``;
+    reference consumer ``mocap_marking.py:419-448``).  Unbounded calls
+    use the full per-axis extent and are exact everywhere.
+    """
+    ndim = mask.ndim
+    if sampling is None:
+        sampling = (1.0,) * ndim
+    f = jnp.where(mask, jnp.inf, 0.0).astype(jnp.float32)
+    for axis in range(ndim):
+        r = mask.shape[axis] - 1
+        if max_radius_px is not None:
+            r = min(r, int(max_radius_px))
+        f = _minplus_axis(f, axis, r, float(sampling[axis]))
+    dist = jnp.sqrt(f)
     dist = jnp.nan_to_num(dist, posinf=float(max(mask.shape)))
     return jnp.where(mask, dist, 0.0)

@@ -1,4 +1,11 @@
-"""JFA distance-transform tests vs scipy exact EDT."""
+"""Distance-transform tests vs scipy exact EDT.
+
+``distance_transform`` is exact (separable min-plus) — asserted
+bit-tight against scipy, including adversarial thin-diagonal-tube masks
+at anisotropic spacing (VERDICT r3 item 9).  ``nearest_seed`` is JFA+1
+(argmin-carry only); its label-assignment distance error is quantified
+here rather than assumed.
+"""
 import numpy as np
 import pytest
 import scipy.ndimage as ndi
@@ -12,10 +19,7 @@ def test_distance_transform_matches_scipy_2d(rng):
     mask = rng.random((48, 50)) > 0.3
     ours = np.asarray(edt.distance_transform(jnp.asarray(mask)))
     ref = ndi.distance_transform_edt(mask)
-    # JFA+1: near-exact; allow rare tiny deviations
-    close = np.isclose(ours, ref, rtol=1e-4, atol=1e-4)
-    assert close.mean() > 0.999
-    np.testing.assert_allclose(ours[close], ref[close])
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_distance_transform_anisotropic_3d(rng):
@@ -24,8 +28,71 @@ def test_distance_transform_anisotropic_3d(rng):
     sampling = (0.5, 0.2, 0.2)
     ours = np.asarray(edt.distance_transform(jnp.asarray(mask), sampling=sampling))
     ref = ndi.distance_transform_edt(mask, sampling=sampling)
-    close = np.isclose(ours, ref, rtol=1e-4, atol=1e-4)
-    assert close.mean() > 0.999
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def _diagonal_tube_mask(shape, width=1):
+    """Thin diagonal tube — the adversarial case for approximate EDTs
+    (nearest-background direction rotates continuously along the tube)."""
+    mask = np.zeros(shape, bool)
+    n = min(shape)
+    for i in range(n):
+        z = min(i * shape[0] // n, shape[0] - 1)
+        y = min(i * shape[1] // n, shape[1] - 1)
+        x = min(i * shape[2] // n, shape[2] - 1)
+        mask[max(0, z - width):z + width + 1,
+             max(0, y - width):y + width + 1,
+             max(0, x - width):x + width + 1] = True
+    return mask
+
+
+def test_distance_transform_exact_on_diagonal_tubes():
+    mask = _diagonal_tube_mask((16, 40, 40), width=2)
+    ours = np.asarray(edt.distance_transform(jnp.asarray(mask)))
+    ref = ndi.distance_transform_edt(mask)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_distance_transform_exact_on_diagonal_tubes_anisotropic():
+    mask = _diagonal_tube_mask((16, 40, 40), width=1)
+    sampling = (0.9, 0.07, 0.07)  # lightsheet-like anisotropy
+    ours = np.asarray(edt.distance_transform(jnp.asarray(mask), sampling=sampling))
+    ref = ndi.distance_transform_edt(mask, sampling=sampling)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_distance_transform_clamped_window_exact_below_bound():
+    """With max_radius_px=R the result is exact wherever true dist <= R
+    and only ever over-estimates beyond — the contract Markers' clamp
+    relies on (stages/mocap_marking.py:83-85)."""
+    rng = np.random.default_rng(7)
+    mask = ndi.binary_dilation(rng.random((20, 30, 30)) > 0.97, iterations=3)
+    R = 5
+    ours = np.asarray(edt.distance_transform(jnp.asarray(mask), max_radius_px=R))
+    ref = ndi.distance_transform_edt(mask)
+    below = ref <= R
+    np.testing.assert_allclose(ours[below], ref[below], rtol=1e-5, atol=1e-5)
+    assert (ours[~below] >= ref[~below] - 1e-4).all()
+    # clamping both at R therefore gives identical images
+    np.testing.assert_allclose(np.minimum(ours, R), np.minimum(ref, R),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_seed_jfa_error_bound_adversarial(rng):
+    """Quantified JFA+1 error audit: on random + tube seeds, the distance
+    to the *assigned* seed must exceed the true nearest-seed distance on
+    <0.1% of voxels and never by more than half a voxel."""
+    shape = (14, 36, 36)
+    seed_mask = rng.random(shape) > 0.995
+    seed_mask[0, 0, 0] = True  # guarantee one seed
+    seed_labels = np.zeros(shape, np.int32)
+    seed_labels[seed_mask] = np.arange(1, seed_mask.sum() + 1)
+    ours_lab, ours_dist = edt.nearest_seed(jnp.asarray(seed_labels))
+    ref_dist = ndi.distance_transform_edt(~seed_mask)
+    err = np.asarray(ours_dist) - ref_dist  # >=0 up to fp rounding
+    assert err.min() > -1e-4
+    assert (err > 1e-4).mean() < 1e-3
+    assert err.max() < 0.5
 
 
 def test_nearest_seed_labels_match_scipy_indices(rng):
