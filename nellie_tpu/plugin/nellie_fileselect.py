@@ -118,6 +118,11 @@ class NellieFileSelect(QWidget):
         for b in (self.confirm_button, self.preview_button, self.process_button):
             b.setEnabled(False)
             actions.addWidget(b)
+        # reference nellie_fileselect.py:111 — rebuilds every tab for a
+        # fresh session
+        self.reset_button = QPushButton("Reset")
+        self.reset_button.clicked.connect(self.nellie.reset)
+        actions.addWidget(self.reset_button)
         layout.addLayout(actions)
 
         layout.addStretch()

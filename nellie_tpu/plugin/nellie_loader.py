@@ -119,3 +119,23 @@ class NellieLoader(QTabWidget):
 
     def enable_analysis(self):
         self.setTabEnabled(self.analyzer_tab, True)
+
+    def reset(self):
+        """Start a fresh session: drop file state and rebuild every tab
+        (reference ``nellie_loader.py:185-215`` — wired to the File tab's
+        Reset button)."""
+        self.im_info = None
+        self.im_info_list = None
+        while self.count():
+            widget = self.widget(0)
+            self.removeTab(0)
+            if widget is not None:
+                widget.deleteLater()
+        self.home = Home(self.viewer, self)
+        self.file_select = NellieFileSelect(self.viewer, self)
+        self.processor = NellieProcessor(self.viewer, self)
+        self.visualizer = NellieVisualizer(self.viewer, self)
+        self.analyzer = NellieAnalysis(self.viewer, self)
+        self.settings = Settings(self.viewer, self)
+        self.add_tabs()
+        self.setCurrentIndex(self.home_tab)

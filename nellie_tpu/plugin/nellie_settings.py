@@ -110,6 +110,13 @@ class Settings(QWidget):
 
         self.apply_config(self._defaults)
 
+        # reference _update_skip_vox_enabled (nellie_settings.py:129-193):
+        # the skip-N spinbox is only meaningful while subsampling is on
+        sub_w, _ = self._widgets["subsample_voxels"]
+        skip_w, _ = self._widgets["skip_vox"]
+        sub_w.toggled.connect(skip_w.setEnabled)
+        skip_w.setEnabled(sub_w.isChecked())
+
     # -- widget construction -----------------------------------------------------
     def _make_row(self, name, field):
         base = _base_type(field.type if not isinstance(field.type, str) else

@@ -76,9 +76,15 @@ def test_split_feature_columns():
     assert features["x"] == ["raw"]
 
 
-def test_plugin_gated_without_napari():
+def test_plugin_gated_without_napari(monkeypatch):
+    import sys
+
     import nellie_tpu.plugin as plugin
 
+    # force-absent regardless of real installs or the qt_stubs used by
+    # test_plugin_widgets (a None sys.modules entry makes import raise)
+    monkeypatch.setitem(sys.modules, "napari", None)
+    monkeypatch.setitem(sys.modules, "qtpy", None)
     with pytest.raises(ImportError, match="napari"):
         plugin.NellieLoader(None)
 
