@@ -86,6 +86,96 @@ def pair_costs(coords_post, coords_pre, feats_post, feats_pre,
     return row_min_val, row_min_idx, col_min_val, col_min_idx
 
 
+@jax.jit
+def _pair_stats_packed(coords_post, coords_pre, feats_post, feats_pre,
+                       valid_post, valid_pre, max_distance):
+    """pair_stats with the three outputs packed into ONE f32 vector so a
+    single device->host pull carries them (the tunnelled link costs
+    ~20 ms per pull).  The integer count rides as a bitcast — exact for
+    any count, unlike a float cast."""
+    count, sums, sumsqs = pair_stats(coords_post, coords_pre, feats_post,
+                                     feats_pre, valid_post, valid_pre,
+                                     max_distance)
+    cnt_bits = jax.lax.bitcast_convert_type(
+        count.astype(jnp.int32), jnp.float32)
+    return jnp.concatenate([cnt_bits[None], sums, sumsqs])
+
+
+@partial(jax.jit, static_argnames=("n_stats",))
+def _pair_costs_packed(coords_post, coords_pre, feats_post, feats_pre,
+                       valid_post, valid_pre, max_distance, mean, std,
+                       n_stats):
+    """pair_costs with [row_min_val, row_min_idx, col_min_val,
+    col_min_idx] packed into one f32 vector (indices bitcast, exact)."""
+    rmv, rmi, cmv, cmi = pair_costs(coords_post, coords_pre, feats_post,
+                                    feats_pre, valid_post, valid_pre,
+                                    max_distance, mean, std, n_stats)
+    to_bits = lambda a: jax.lax.bitcast_convert_type(  # noqa: E731
+        a.astype(jnp.int32), jnp.float32)
+    return jnp.concatenate([rmv, to_bits(rmi), cmv, to_bits(cmi)])
+
+
+def _select_matches(row_min_val, row_min_idx, col_min_val, col_min_idx,
+                    n_post, n_pre):
+    """Union-of-candidates selection under the cost cutoff (the
+    reference's semantics, ``hu_tracking.py:893-944``)."""
+    row_matches, col_matches, costs = [], [], []
+    for i in range(n_post):
+        if row_min_idx[i] >= 0 and row_min_val[i] <= COST_CUTOFF and np.isfinite(row_min_val[i]):
+            row_matches.append(int(i))
+            col_matches.append(int(row_min_idx[i]))
+            costs.append(float(row_min_val[i]))
+    for j in range(n_pre):
+        if col_min_idx[j] >= 0 and col_min_val[j] <= COST_CUTOFF and np.isfinite(col_min_val[j]):
+            row_matches.append(int(col_min_idx[j]))
+            col_matches.append(int(j))
+            costs.append(float(col_min_val[j]))
+    return row_matches, col_matches, costs
+
+
+def match_frames_device(
+    coords_post_dev, feats_post_dev, valid_post_dev, n_post: int,
+    coords_pre_dev, feats_pre_dev, valid_pre_dev, n_pre: int,
+    max_distance: float, n_stats: int,
+) -> Tuple[list, list, list]:
+    """Single-tile matching over DEVICE-resident padded features.
+
+    Numerically identical to :func:`match_frames` on one tile (same
+    kernels, same host-f64 mean/std between phases), but the padded
+    feature arrays never leave HBM and each phase costs exactly one
+    device->host pull — 2 round trips per frame pair instead of ~8.
+    """
+    if n_post == 0 or n_pre == 0:
+        return [], [], []
+    nb_post = coords_post_dev.shape[0]
+    nb_pre = coords_pre_dev.shape[0]
+    n_feat = feats_post_dev.shape[1]
+
+    packed = np.asarray(_pair_stats_packed(
+        coords_post_dev, coords_pre_dev, feats_post_dev, feats_pre_dev,
+        valid_post_dev, valid_pre_dev, jnp.float32(max_distance)))
+    count = int(packed[:1].view(np.int32)[0])
+    if count == 0:
+        return [], [], []
+    sums = packed[1:2 + n_feat].astype(np.float64)
+    sumsqs = packed[2 + n_feat:].astype(np.float64)
+    mean = sums / count
+    var = np.maximum(sumsqs / count - mean**2, 0.0)
+    std = np.sqrt(var) + 1e-8
+
+    packed2 = np.asarray(_pair_costs_packed(
+        coords_post_dev, coords_pre_dev, feats_post_dev, feats_pre_dev,
+        valid_post_dev, valid_pre_dev, jnp.float32(max_distance),
+        jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32),
+        n_stats))
+    row_min_val = packed2[:nb_post][:n_post]
+    row_min_idx = packed2[nb_post:2 * nb_post].view(np.int32)[:n_post]
+    col_min_val = packed2[2 * nb_post:2 * nb_post + nb_pre][:n_pre]
+    col_min_idx = packed2[2 * nb_post + nb_pre:].view(np.int32)[:n_pre]
+    return _select_matches(row_min_val, row_min_idx, col_min_val,
+                           col_min_idx, n_post, n_pre)
+
+
 def _pad_to(arr: np.ndarray, n: int, fill=0):
     if arr.shape[0] == n:
         return arr
@@ -175,15 +265,5 @@ def match_frames(
         # translate tile-local row index to global
         col_min_idx = np.where(better, cmi_np + start, col_min_idx)
 
-    row_matches, col_matches, costs = [], [], []
-    for i in range(n_post):
-        if row_min_idx[i] >= 0 and row_min_val[i] <= COST_CUTOFF and np.isfinite(row_min_val[i]):
-            row_matches.append(int(i))
-            col_matches.append(int(row_min_idx[i]))
-            costs.append(float(row_min_val[i]))
-    for j in range(n_pre):
-        if col_min_idx[j] >= 0 and col_min_val[j] <= COST_CUTOFF and np.isfinite(col_min_val[j]):
-            row_matches.append(int(col_min_idx[j]))
-            col_matches.append(int(j))
-            costs.append(float(col_min_val[j]))
-    return row_matches, col_matches, costs
+    return _select_matches(row_min_val, row_min_idx, col_min_val,
+                           col_min_idx, n_post, n_pre)

@@ -35,12 +35,42 @@ from nellie_tpu.utils import adaptive_run
 from nellie_tpu.utils.base_logger import logger
 
 
+N_STATS = 4  # masked mean/var of intensity + of log-Frangi
+
+
 @dataclass
 class _FrameFeatures:
+    """Per-frame marker features.
+
+    ``feats_dev`` holds the padded (nb, 4+n_hu) [stats | hu] matrix
+    DEVICE-resident (with ``coords_phys_dev``/``valid_dev``) so the
+    single-tile matcher never pulls it over the link; the host
+    ``stats``/``hu`` views materialise lazily (one bundled pull) only
+    for the tiled fallback and the mesh frame-parallel path."""
+
     coords_voxel: np.ndarray
     coords_phys: np.ndarray
-    stats: np.ndarray
-    hu: np.ndarray
+    n: int = 0
+    feats_dev: object = None
+    coords_phys_dev: object = None
+    valid_dev: object = None
+    _feats_np: np.ndarray = None
+
+    def _feats(self) -> np.ndarray:
+        if self._feats_np is None:
+            if self.feats_dev is None:
+                self._feats_np = np.zeros((0, N_STATS), np.float32)
+            else:
+                self._feats_np = np.asarray(self.feats_dev)[: self.n]
+        return self._feats_np
+
+    @property
+    def stats(self) -> np.ndarray:
+        return self._feats()[:, :N_STATS]
+
+    @property
+    def hu(self) -> np.ndarray:
+        return self._feats()[:, N_STATS:]
 
 
 @jax.jit
@@ -102,6 +132,47 @@ def _roi_features_kernel(intensity_pad, frangi_pad, coords, radii, valid, r, no_
 
 def _next_multiple(n, m):
     return ((n + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("r", "no_z", "chunk", "scaling"))
+def _frame_features_fused(intensity, frangi, distance, coords, valid,
+                          r, no_z, chunk, scaling):
+    """ONE device program per frame: prep + radii gather + chunked ROI
+    moments + physical coords.
+
+    Replaces the old 8-12 dispatch/pull round trips per frame (prep,
+    radii pull -> host pad -> per-chunk kernels -> padded stats/hu
+    pulls) with a single dispatch whose outputs stay in HBM for the
+    matcher.  ``r`` is a static bound derived from the distance
+    artifact's host-side max (the dilated radius can never exceed
+    2*max(distance), and a larger cube only adds masked zeros — the
+    moment kernels are nonzero-masked and translation-invariant, so the
+    values are unchanged).  ``chunk`` bounds the (chunk, r^d) gather
+    tensors exactly like the old host-chunked loop, via lax.map.
+    """
+    frangi_norm, dil = _prep_frame_kernel(frangi, distance)
+    ndim = coords.shape[1]
+    radii = dil[tuple(coords[:, d] for d in range(ndim))]
+    pad = [(r, r)] * ndim
+    intensity_pad = jnp.pad(intensity.astype(jnp.float32), pad)
+    frangi_pad = jnp.pad(frangi_norm, pad)
+
+    nb = coords.shape[0]
+    n_chunks = nb // chunk
+    coords_c = coords.reshape(n_chunks, chunk, ndim)
+    radii_c = radii.reshape(n_chunks, chunk)
+    valid_c = valid.reshape(n_chunks, chunk)
+
+    def one(args):
+        c, rad, val = args
+        return _roi_features_kernel(intensity_pad, frangi_pad, c, rad, val,
+                                    r, no_z)
+
+    stats, hu = jax.lax.map(one, (coords_c, radii_c, valid_c))
+    feats = jnp.concatenate(
+        [stats.reshape(nb, -1), hu.reshape(nb, -1)], axis=1)
+    coords_phys = coords.astype(jnp.float32) * jnp.asarray(scaling, jnp.float32)
+    return feats, coords_phys
 
 
 class HuMomentTracking:
@@ -185,68 +256,53 @@ class HuMomentTracking:
 
         dims = 2 if self.im_info.no_z else 3
         coords = np.argwhere(marker)
-        if coords.shape[0] == 0:
+        n = coords.shape[0]
+        if n == 0:
             return _FrameFeatures(
-                np.zeros((0, dims), int), np.zeros((0, dims), float),
-                np.zeros((0, 4), np.float32),
-                np.zeros((0, 6 if self.im_info.no_z else 18), np.float32),
-            )
+                np.zeros((0, dims), int), np.zeros((0, dims), float), 0)
 
+        # static ROI radius bound from the distance artifact's host max:
+        # dilated radii = 2 * maximum_filter(distance) <= 2 * max(distance),
+        # and the distance image is clamped (stages/mocap_marking.py:85)
+        # so the bound — hence the compiled shape — is stable across
+        # frames.  Per-marker radii still gate each cube's true extent
+        # on device; the bound only sizes the (masked) slice.
+        dmax = float(np.max(np.ascontiguousarray(self.im_distance_memmap[t])))
+        max_radius = int(np.ceil(2.0 * dmax)) * 2 + 1
+        r = _next_multiple(max(max_radius, 3), 4)
+
+        chunk = self.roi_chunk
+        nb = chunk
+        while nb < n:
+            nb *= 2
+        cpad = np.zeros((nb, dims), np.int32)
+        cpad[:n] = coords
+        val = np.zeros((nb,), bool)
+        val[:n] = True
+
+        intensity_src = raw_dev if raw_dev is not None else \
+            jnp.asarray(np.ascontiguousarray(self.im_memmap[t]))
         if frangi_dev is None:
             frangi_dev = jnp.asarray(np.ascontiguousarray(self.im_frangi_memmap[t]))
         if distance_dev is None:
             distance_dev = jnp.asarray(np.ascontiguousarray(self.im_distance_memmap[t]))
-        frangi_norm, dil_dist = _prep_frame_kernel(frangi_dev, distance_dev)
-        # gather marker radii on device: pulls n floats instead of the
-        # whole dilated-distance frame
-        nb = _next_multiple(coords.shape[0], 1024)
-        cpad = np.zeros((nb, dims), np.int32)
-        cpad[: coords.shape[0]] = coords
-        radii = np.asarray(_gather_kernel(dil_dist, jnp.asarray(cpad)))[: coords.shape[0]]
-        max_radius = int(np.ceil(radii.max())) * 2 + 1
-        r = _next_multiple(max(max_radius, 3), 4)
 
-        pad = [(r, r)] * dims
-        if raw_dev is not None:
-            intensity_pad = jnp.pad(raw_dev.astype(jnp.float32), pad)
-        else:
-            intensity = np.ascontiguousarray(self.im_memmap[t])
-            intensity_pad = jnp.asarray(np.pad(intensity.astype(np.float32), pad))
-        frangi_pad = jnp.pad(frangi_norm, pad)
-
-        n = coords.shape[0]
-        chunk = self.roi_chunk
-        stats_dev, hu_dev, counts = [], [], []
-        for start in range(0, n, chunk):
-            end = min(start + chunk, n)
-            cnum = end - start
-            c = np.zeros((chunk, dims), np.int32)
-            c[:cnum] = coords[start:end]
-            rad = np.zeros((chunk,), np.float32)
-            rad[:cnum] = radii[start:end]
-            val = np.zeros((chunk,), bool)
-            val[:cnum] = True
-            stats, hu = _roi_features_kernel(
-                intensity_pad, frangi_pad,
-                jnp.asarray(c), jnp.asarray(rad), jnp.asarray(val),
-                r, self.im_info.no_z,
-            )
-            # lazy: all bucket kernels dispatch before any result is pulled
-            stats_dev.append(stats)
-            hu_dev.append(hu)
-            counts.append(cnum)
-        stats_rows = [np.asarray(s)[:c] for s, c in zip(stats_dev, counts)]
-        hu_rows = [np.asarray(h)[:c] for h, c in zip(hu_dev, counts)]
+        valid_dev = jnp.asarray(val)
+        feats_dev, coords_phys_dev = _frame_features_fused(
+            intensity_src, frangi_dev, distance_dev,
+            jnp.asarray(cpad), valid_dev,
+            r=r, no_z=self.im_info.no_z, chunk=chunk,
+            scaling=tuple(float(s) for s in self.scaling))
 
         coords_phys = coords * np.asarray(self.scaling, float)
         return _FrameFeatures(
-            coords.astype(int), coords_phys,
-            np.concatenate(stats_rows, axis=0), np.concatenate(hu_rows, axis=0),
-        )
+            coords.astype(int), coords_phys, n,
+            feats_dev=feats_dev, coords_phys_dev=coords_phys_dev,
+            valid_dev=valid_dev)
 
     # -- matching ---------------------------------------------------------------
     def _match_frames(self, frame_t: _FrameFeatures, frame_prev: _FrameFeatures):
-        n_post, n_pre = frame_t.stats.shape[0], frame_prev.stats.shape[0]
+        n_post, n_pre = frame_t.n, frame_prev.n
         if n_post == 0 or n_pre == 0:
             return [], [], []
         # mode maps onto the row-tile size (tiled execution IS the dense
@@ -259,6 +315,20 @@ class HuMomentTracking:
         else:
             too_big = n_post * n_pre > self.max_dense_pairs
             tile_rows = 2048 if (too_big or self.low_memory) else 8192
+        # single-tile fast path over the device-resident features: the
+        # padded feats never cross the link, 2 pulls per pair.  Mesh
+        # frame-parallelism pins frames to different devices, so it
+        # takes the host path (tiled == dense semantics either way).
+        if (self.mesh is None
+                and frame_t.feats_dev is not None
+                and frame_prev.feats_dev is not None
+                and n_post <= tile_rows and n_pre <= tile_rows):
+            return matching.match_frames_device(
+                frame_t.coords_phys_dev, frame_t.feats_dev,
+                frame_t.valid_dev, n_post,
+                frame_prev.coords_phys_dev, frame_prev.feats_dev,
+                frame_prev.valid_dev, n_pre,
+                self.max_distance_um, N_STATS)
         return matching.match_frames(
             frame_t.coords_phys, frame_prev.coords_phys,
             frame_t.stats, frame_prev.stats,
