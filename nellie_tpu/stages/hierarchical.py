@@ -53,7 +53,7 @@ from nellie_tpu.kernels.segstats import (
     segment_nanstats_gathered,
 )
 from nellie_tpu.stages.flow_interpolation import FlowInterpolator
-from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils import adaptive_run, transfer
 from nellie_tpu.utils.base_logger import logger
 from nellie_tpu.utils.regionprops import regionprops
 
@@ -536,8 +536,11 @@ class _VoxelLevel:
                 jnp.asarray(spacing),
                 jnp.float32(h.im_info.dim_res["T"] or 1.0),
                 no_z=h.im_info.no_z, has01=t > 0, num_labels=lb)
-            # ONE pull for the whole voxel table (CSV + host consumers)
-            self.stats = np.asarray(self.stats_dev)[:, :n]
+            # ONE pull for the whole voxel table (CSV + host consumers),
+            # trimmed on device to a granule above n — the pow2 bucket
+            # would otherwise ship up to 2x the real bytes
+            self.stats = np.asarray(
+                transfer.trim_last(self.stats_dev, n))[:, :n]
             for i, k in enumerate(_MOTILITY_KEYS):
                 motility[k] = self.stats[i]
         else:
@@ -560,7 +563,8 @@ class _VoxelLevel:
     def vec01(self) -> np.ndarray:
         if self._vec01_np is None:
             if self._vec01_px_dev is not None:
-                self._vec01_np = (np.asarray(self._vec01_px_dev)[: self._n]
+                self._vec01_np = (np.asarray(transfer.trim_leading(
+                    self._vec01_px_dev, self._n))[: self._n]
                                   * self._spacing).astype(np.float32)
             else:
                 self._vec01_np = np.full(
@@ -571,7 +575,8 @@ class _VoxelLevel:
     def vec12(self) -> np.ndarray:
         if self._vec12_np is None:
             if self._vec12_px_dev is not None:
-                self._vec12_np = (np.asarray(self._vec12_px_dev)[: self._n]
+                self._vec12_np = (np.asarray(transfer.trim_leading(
+                    self._vec12_px_dev, self._n))[: self._n]
                                   * self._spacing).astype(np.float32)
             else:
                 self._vec12_np = np.full(

@@ -50,8 +50,19 @@ from nellie_tpu.stages.flow_interpolation import (
     _interp_all_kernel,
     FlowInterpolator,
 )
-from nellie_tpu.utils import adaptive_run
+from nellie_tpu.utils import adaptive_run, transfer
 from nellie_tpu.utils.base_logger import logger
+
+
+@jax.jit
+def _pack_pair_outputs(best_src, best_ok, voted_branch, voted_obj):
+    """Stack the fused pair program's four result vectors into one i32
+    matrix so they cross the link as a single (trimmed) pull instead of
+    four round trips."""
+    return jnp.stack([voted_branch.astype(jnp.int32),
+                      voted_obj.astype(jnp.int32),
+                      best_ok.astype(jnp.int32),
+                      best_src.astype(jnp.int32)])
 
 
 class VoxelReassigner:
@@ -512,11 +523,14 @@ class VoxelReassigner:
                 jnp.asarray(nh_b), jnp.asarray(nh_o),
                 scaling, interp_d, match_d, use_pallas=use_pallas)
 
-            # ~0.5 MB down: vote vectors + best-pair indices
-            vb = np.asarray(voted_branch)[: len(coords_n)]
-            vo = np.asarray(voted_obj)[: len(coords_n)]
-            ok = np.asarray(best_ok)[: len(coords_n)]
-            src = np.asarray(best_src)[: len(coords_n)]
+            # vote vectors + best-pair indices: ONE trimmed pull
+            packed = np.asarray(transfer.trim_last(
+                _pack_pair_outputs(best_src, best_ok, voted_branch,
+                                   voted_obj), len(coords_n)))
+            vb = packed[0][: len(coords_n)]
+            vo = packed[1][: len(coords_n)]
+            ok = packed[2][: len(coords_n)].astype(bool)
+            src = packed[3][: len(coords_n)]
 
             if not ok.any():
                 logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")

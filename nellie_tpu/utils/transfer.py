@@ -55,6 +55,59 @@ def finish_label_pull(prep, out_dtype) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Padded-axis trimming before a pull
+# --------------------------------------------------------------------------
+# Per-voxel tables ride power-of-2 padded buckets on device (stable
+# compiled shapes), so a naive pull moves up to 2x the real bytes.  A
+# device-side slice to the next TRIM_GRANULE multiple >= n bounds the
+# wire waste at one granule while keeping the compile count tiny (one
+# trivial slice program per distinct rounded size, cached per process).
+
+TRIM_GRANULE = 16384
+
+
+def _trim_fns():
+    import functools
+
+    import jax
+
+    @functools.lru_cache(maxsize=None)
+    def leading(m):
+        return jax.jit(lambda a: a[:m])
+
+    @functools.lru_cache(maxsize=None)
+    def last(m):
+        return jax.jit(lambda a: a[..., :m])
+
+    return leading, last
+
+
+_trim_leading, _trim_last = _trim_fns()
+
+
+def _rounded(n: int, size: int, granule: int) -> int:
+    return min(size, ((max(int(n), 1) + granule - 1) // granule) * granule)
+
+
+def trim_leading(dev_arr, n: int, granule: int = TRIM_GRANULE):
+    """Slice axis 0 down to the smallest granule multiple >= n on device
+    (a no-op when the padding is already within one granule)."""
+    m = _rounded(n, dev_arr.shape[0], granule)
+    if m >= dev_arr.shape[0]:
+        return dev_arr
+    return _trim_leading(m)(dev_arr)
+
+
+def trim_last(dev_arr, n: int, granule: int = TRIM_GRANULE):
+    """Slice the LAST axis down to the smallest granule multiple >= n on
+    device before a host pull."""
+    m = _rounded(n, dev_arr.shape[-1], granule)
+    if m >= dev_arr.shape[-1]:
+        return dev_arr
+    return _trim_last(m)(dev_arr)
+
+
+# --------------------------------------------------------------------------
 # Foreground-sparse pulls
 # --------------------------------------------------------------------------
 # Pipeline intermediates are overwhelmingly background (measured 0.01-1.6%
