@@ -889,8 +889,10 @@ class _BranchLevel:
             self.branch_aspect_ratio = empty.copy()
             self.branch_tortuosity = empty.copy()
 
-        # region morphology over the full-volume branch labels
-        label_branches = np.asarray(h.label_branches[t]).astype(np.int64)
+        # region morphology over the full-volume branch labels (native
+        # dtype — an int64 astype here would copy the whole 4.2 Mvox
+        # frame; the per-voxel consumers cast their own gathers)
+        label_branches = np.asarray(h.label_branches[t])
         props = {r.label: r for r in regionprops(label_branches, spacing=tuple(spacing))}
         self._fill_regionprops(props, row_labels, "branch")
 
@@ -1327,7 +1329,10 @@ class Hierarchy:
         elif mesh_devs is not None:
             workers = min(len(mesh_devs), self.num_t)
         else:
-            workers = min(2, self.num_t)
+            # three in flight: frame t's pulls + CSV prep overlap t+1's
+            # device kernels AND t+2's host gathers (each frame holds a
+            # few tens of MB of stat tables — cheap next to the memmaps)
+            workers = min(3, self.num_t)
         executor = (ThreadPoolExecutor(max_workers=workers,
                                        thread_name_prefix="nellie-hier-frame")
                     if workers > 1 else None)

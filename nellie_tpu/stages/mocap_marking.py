@@ -72,17 +72,23 @@ class MarkerParams:
         return (float(sigma) / self.z_ratio, float(sigma), float(sigma))
 
 
-@partial(jax.jit, static_argnames=("params",))
-def markers_frame(intensity, mask, base_im, params: MarkerParams):
-    """One frame: (marker uint8, distance float32, border uint8).
-
-    ``base_im`` is the peak-detection image; pass the distance image via
-    a two-step call when use_im='distance' (see stage driver).
-    """
-    mask = mask.astype(bool)
+def _clamped_distance(mask, params: MarkerParams):
     clamp_px = int(params.max_radius_px * 2.0) + 1
     distance = edt.distance_transform(mask, max_radius_px=clamp_px)  # pixel units
-    distance = jnp.minimum(distance, params.max_radius_px * 2.0).astype(jnp.float32)
+    return jnp.minimum(distance, params.max_radius_px * 2.0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def markers_frame(intensity, mask, base_im, params: MarkerParams, distance=None):
+    """One frame: (marker uint8, distance float32, border uint8).
+
+    ``base_im`` is the peak-detection image; ``distance`` may carry a
+    precomputed clamped distance map (markers_frame_distance passes its
+    own so the EDT runs once, not twice).
+    """
+    mask = mask.astype(bool)
+    if distance is None:
+        distance = _clamped_distance(mask, params)
     border = binary_dilation(mask, connectivity=1) ^ mask
 
     use_im = base_im
@@ -111,12 +117,11 @@ def markers_frame(intensity, mask, base_im, params: MarkerParams):
 
 @partial(jax.jit, static_argnames=("params",))
 def markers_frame_distance(intensity, mask, params: MarkerParams):
-    """use_im='distance' variant: peak detection runs on the distance map."""
+    """use_im='distance' variant: peak detection runs on the distance map
+    (computed ONCE and shared with the artifact output)."""
     mask = mask.astype(bool)
-    clamp_px = int(params.max_radius_px * 2.0) + 1
-    distance = edt.distance_transform(mask, max_radius_px=clamp_px)
-    distance = jnp.minimum(distance, params.max_radius_px * 2.0).astype(jnp.float32)
-    return markers_frame(intensity, mask, distance, params)
+    distance = _clamped_distance(mask, params)
+    return markers_frame(intensity, mask, distance, params, distance=distance)
 
 
 class Markers:
