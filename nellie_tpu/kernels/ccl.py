@@ -46,6 +46,23 @@ STENCIL_HOPS_PER_ROUND = 48
 _HOP_ONLY_MAX_DIM = 512
 _HOP_ONLY_HOPS = 64
 
+# Above this many voxels the per-round hop chain runs as a fori_loop
+# instead of a Python unroll: XLA holds every unrolled hop's temporaries
+# live simultaneously (~80 full-volume buffers at 64 hops — 17.5 GB at a
+# 384³ volume, measured OOM), while the rolled loop carries ONE buffer.
+# Below it the unroll stays (marginally better fusion at frame sizes).
+_UNROLL_HOPS_MAX_VOX = 1 << 23
+
+
+def _hop_chain(stencil, x, hops: int):
+    """``hops`` applications of ``stencil``, unrolled only when the
+    volume is small enough that the unroll's live-buffer cost is noise."""
+    if int(np.prod(x.shape)) <= _UNROLL_HOPS_MAX_VOX:
+        for _ in range(hops):
+            x = stencil(x)
+        return x
+    return lax.fori_loop(0, hops, lambda _, p: stencil(p), x)
+
 
 def _stencil_hops() -> int:
     """Hops per scan round, by backend (read at trace time).
@@ -216,8 +233,7 @@ def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarr
         # hops cross bends/diagonals, so extra hops cut the number of
         # scan rounds needed (measured: 18 rounds @1 hop -> 6 @32 hops,
         # 0.235 -> 0.110 s at 64x256x256; harmless for blob-like masks)
-        for _hop in range(hops):
-            new = stencil(new)
+        new = _hop_chain(stencil, new, hops)
         return new, jnp.any(new != lbl)
 
     lbl, _ = lax.while_loop(lambda s: s[1], body, (lbl0, jnp.bool_(True)))
@@ -299,11 +315,13 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
         # shifted onto a foreground voxel by one offset gets re-shifted
         # by the next, i.e. reachability tunnels diagonally through
         # foreground corners, which face connectivity forbids.
-        for _hop in range(hops):
-            base = new
+        def _dilate(base):
+            out = base
             for off in offsets:
-                new = new | _shift_nd(base, off, False)
-            new = new & bg
+                out = out | _shift_nd(base, off, False)
+            return out & bg
+
+        new = _hop_chain(_dilate, new, hops)
         return new, jnp.any(new != r)
 
     reached, _ = lax.while_loop(
@@ -371,8 +389,7 @@ def remove_small_components(
                                            shift_fill(m, axis, -1, sentinel)))
         return jnp.where(fg, m, sentinel)
 
-    for _ in range(hops):
-        vals = hop(vals)
+    vals = _hop_chain(hop, vals, hops)
 
     # box min/max of the fg-masked values WITHOUT re-masking between the
     # separable axis passes: the result at a fg voxel is the min/max over
@@ -403,9 +420,14 @@ def remove_small_components(
     # the stencil form identifies offsets by their LINEAR delta, which is
     # only injective when every axis extent exceeds 2*hops — on narrower
     # images two offsets share a delta (e.g. (1,-3) and (0,5) at W=8) and
-    # the root lookup could OR in a geometrically wrong verdict
+    # the root lookup could OR in a geometrically wrong verdict.  The
+    # (2*hops+1)^ndim-tap unroll also keeps every tap's full-volume
+    # temporary live at once, so above _UNROLL_HOPS_MAX_VOX the two
+    # scatters' serialisation is cheaper than the unroll's HBM blow-up
+    # (measured: 125 taps at 56 Mvox wants 17.5 GB)
     if ((2 * hops + 1) ** mask.ndim <= 135
-            and all(s > 2 * hops for s in mask.shape)):
+            and all(s > 2 * hops for s in mask.shape)
+            and n <= _UNROLL_HOPS_MAX_VOX):
         return _remove_small_local(mask, vals, boundary, min_size, hops)
 
     flat = jnp.where(fg, vals, sentinel).reshape(-1)

@@ -8,8 +8,23 @@ each window's vesselness core is written into a persistent DONATED
 device buffer (float16 by default — half the HBM of f32, ~1e-3 relative
 threshold quantisation), then thresholding (sampled histograms), the
 percentile-1 finalize mask, hole filling, the area filter and connected
-components all run on the full volume in HBM.  Only the final product
-crosses the link:
+components all run on the device.  Two execution strategies:
+
+* **monolith** (small volumes): finalize + CCL as ONE XLA program over
+  the whole in-HBM volume (``_segment_from_vessel``).  The CCL fixpoint
+  holds several full-volume int32 temporaries, so this stops compiling
+  around ~50 Mvox on a 16 GB chip (measured: 384³ wants 17.5 GB).
+* **chunked** (large volumes): every global operation is decomposed
+  into per-grid-cell device programs over persistent HBM buffers plus a
+  host union-find over 1-voxel chunk-boundary planes (MB-scale pulls).
+  Per-cell CCL labels components by their *global* minimum raveled
+  index, so after the host merge the scipy-identical numbering falls
+  out by ranking merged minima — exactly the monolith's semantics
+  (tested equal in ``tests/test_capacity_chunked.py``).  Peak HBM at
+  1024³ is the int32 roots volume (4.3 GB) + the bool mask (1.1 GB) +
+  one cell fixpoint (~0.5 GB), comfortably inside one chip.
+
+Only the final product crosses the link:
 
   emit="labels"         uint16 instance labels       (2.1 GB at 1024³)
   emit="sparse_labels"  packed fg mask + compacted uint16 values
@@ -134,6 +149,601 @@ def _shift_bool(mask, axis, o):
     return jnp.pad(mask[tuple(sl)], pad)
 
 
+# ---------------------------------------------------------------------------
+# Chunked strategy: per-grid-cell CCL + host union-find over boundary planes
+# ---------------------------------------------------------------------------
+
+# Grid cells stay inside the hop-only fixpoint regime (kernels/ccl.py
+# _HOP_ONLY_MAX_DIM) and keep the per-cell fixpoint temporaries ~0.5 GB.
+_CCL_CELL_MAX_DIM = 512
+_CCL_CELL_MAX_VOX = 1 << 26
+# min_area - 1 <= this: the area filter runs as exact halo windows
+# (cheap bounded hops); above it, as a global roots+sizes pass.
+_WINDOWED_REMOVE_MAX_HALO = 32
+_I32_PAD = np.int32(2**31 - 1)  # sorted-table pad (never a valid root id)
+
+
+def _ccl_grid(shape, max_dim=_CCL_CELL_MAX_DIM, max_vox=_CCL_CELL_MAX_VOX):
+    """Per-axis cut positions of a regular grid whose cells are at most
+    ``max_dim`` per axis and ``max_vox`` voxels.  Cells within an axis
+    differ by at most one voxel, so at most 2^ndim cell shapes compile."""
+    counts = [max(1, -(-d // max_dim)) for d in shape]
+
+    def cell(cs):
+        return tuple(-(-d // k) for d, k in zip(shape, cs))
+
+    while int(np.prod(cell(counts))) > max_vox:
+        ext = cell(counts)
+        counts[int(np.argmax(ext))] += 1
+    return [tuple(int(round(d * i / k)) for i in range(k + 1))
+            for d, k in zip(shape, counts)]
+
+
+def _iter_cells(bounds):
+    import itertools
+
+    for idx in itertools.product(*(range(len(b) - 1) for b in bounds)):
+        origin = tuple(b[i] for b, i in zip(bounds, idx))
+        cshape = tuple(b[i + 1] - b[i] for b, i in zip(bounds, idx))
+        yield origin, cshape
+
+
+def _vol_strides(vol_shape):
+    return tuple(int(np.prod(vol_shape[i + 1:])) for i in range(len(vol_shape)))
+
+
+def _local_to_global_flat(flat_local, origin, chunk_shape, vol_shape):
+    """Chunk-local flat indices -> volume flat indices (int32; the
+    caller guarantees prod(vol_shape) < 2^31)."""
+    strides = _vol_strides(vol_shape)
+    rem = flat_local
+    g = jnp.zeros_like(flat_local)
+    for ax in range(len(chunk_shape) - 1, 0, -1):
+        g = g + (rem % chunk_shape[ax] + origin[ax]) * strides[ax]
+        rem = rem // chunk_shape[ax]
+    return g + (rem + origin[0]) * strides[0]
+
+
+@partial(jax.jit, static_argnames=("chunk_shape", "vol_shape", "invert",
+                                   "connectivity", "table_cap"),
+         donate_argnums=(0,))
+def _cell_roots(roots_buf, mask_buf, origin, *, chunk_shape, vol_shape,
+                invert, connectivity, table_cap):
+    """One grid cell's CCL roots written into the volume roots buffer.
+
+    Root values are GLOBAL minimum raveled indices of the cell-local
+    component piece; non-participating voxels get -1.  With
+    ``table_cap`` also returns the compacted (global root id, size,
+    n_distinct) table for the cell (the area filter's size census)."""
+    o = tuple(origin[i] for i in range(len(chunk_shape)))
+    m = lax.dynamic_slice(mask_buf, o, chunk_shape)
+    if invert:
+        m = ~m
+    n_local = int(np.prod(chunk_shape))
+    roots = ccl.union_find_roots(m, connectivity)  # int32 flat, n_local at bg
+    valid = roots < n_local
+    g = _local_to_global_flat(roots, origin, chunk_shape, vol_shape)
+    out = lax.dynamic_update_slice(
+        roots_buf, jnp.where(valid, g, -1).reshape(chunk_shape), o)
+    if not table_cap:
+        return out, None
+    sizes = jnp.zeros((n_local + 1,), jnp.int32).at[
+        jnp.where(valid, roots, n_local)].add(1)
+    present = sizes[:n_local] > 0
+    n_distinct = jnp.sum(present.astype(jnp.int32))
+    ridx = jnp.flatnonzero(present, size=table_cap, fill_value=n_local)
+    ok = ridx < n_local
+    g_tab = jnp.where(
+        ok, _local_to_global_flat(ridx, origin, chunk_shape, vol_shape), -1)
+    return out, (g_tab, jnp.where(ok, sizes[ridx], 0), n_distinct)
+
+
+@partial(jax.jit, static_argnames=("plane_shape",))
+def _pull_plane(roots_buf, start, *, plane_shape):
+    return lax.dynamic_slice(
+        roots_buf, tuple(start[i] for i in range(len(plane_shape))), plane_shape)
+
+
+@partial(jax.jit, static_argnames=("chunk_shape", "mode"), donate_argnums=(0,))
+def _cell_isin_update(mask_buf, roots_buf, table, origin, *, chunk_shape, mode):
+    """Apply a host verdict to one cell by sorted-table root membership.
+
+    mode="fill":   mask |= participating voxels whose root is NOT in the
+                   table (table = outside-connected bg roots; the rest
+                   are holes).
+    mode="remove": mask &= ~(root in table) (table = under-min-size
+                   component roots)."""
+    o = tuple(origin[i] for i in range(len(chunk_shape)))
+    r = lax.dynamic_slice(roots_buf, o, chunk_shape)
+    pos = jnp.clip(jnp.searchsorted(table, r), 0, table.shape[0] - 1)
+    hit = (table[pos] == r) & (r >= 0)
+    m = lax.dynamic_slice(mask_buf, o, chunk_shape)
+    if mode == "fill":
+        m = m | ((r >= 0) & ~hit)
+    else:
+        m = m & ~hit
+    return lax.dynamic_update_slice(mask_buf, m, o)
+
+
+@partial(jax.jit, static_argnames=("ext_shape", "core_shape"),
+         donate_argnums=(0,))
+def _m1o_window(m1o_buf, vessel_buf, pct, ext_start, core_off, core_start,
+                *, ext_shape, core_shape):
+    """Finalize opening mask (erode+dilate of vessel>pct), one halo-2
+    window; pure local stencil so overlapping core writes agree."""
+    w = lax.dynamic_slice(
+        vessel_buf, tuple(ext_start[i] for i in range(len(ext_shape))), ext_shape)
+    m1 = w > pct.astype(w.dtype)
+    er = m1
+    for axis in range(w.ndim):
+        for o in (1, -1):
+            er = er & _shift_bool(m1, axis, o)
+    m1o = er
+    for axis in range(w.ndim):
+        for o in (1, -1):
+            m1o = m1o | _shift_bool(er, axis, o)
+    core = lax.dynamic_slice(
+        m1o, tuple(core_off[i] for i in range(len(core_shape))), core_shape)
+    return lax.dynamic_update_slice(
+        m1o_buf, core, tuple(core_start[i] for i in range(len(core_shape))))
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _mask_from_vessel(vessel_buf, m1o_buf, thr):
+    return (vessel_buf > thr.astype(vessel_buf.dtype)) & m1o_buf
+
+
+@partial(jax.jit, static_argnames=("step",))
+def _strided_sample(buf, *, step):
+    return buf.reshape(-1)[::step].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("step",))
+def _strided_sample_bool(buf, *, step):
+    return buf.reshape(-1)[::step]
+
+
+@jax.jit
+def _pct_from_sample(sample):
+    return frangi_k.masked_percentile(sample, sample > 0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _thr_from_samples(sample, m1o_sample, nbins):
+    """Label threshold — log-domain min(triangle, otsu) over the
+    finalize-masked vesselness sample (same math as the monolith and
+    ``stages/labelling.py``)."""
+    eff = jnp.where(m1o_sample, sample, 0.0)
+    valid = eff > 0
+    logv = jnp.log10(jnp.where(valid, eff, 1.0))
+    tri = thr_k.triangle_threshold(logv, valid, nbins)
+    ots, _ = thr_k.otsu_threshold(logv, valid, nbins)
+    thr = jnp.minimum(10.0 ** tri, 10.0 ** ots)
+    return jnp.where(jnp.any(valid), thr, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("ext_shape", "core_shape", "min_size"),
+         donate_argnums=(0,))
+def _remove_small_window(mask_buf, ext_start, core_off, core_start,
+                         *, ext_shape, core_shape, min_size):
+    """Exact windowed area filter.  With halo >= min_size - 1 a
+    component reaching from the core past the window edge spans at
+    least min_size in-window voxels (one voxel per Chebyshev step), so
+    the window-local exact filter keeps it; components not reaching the
+    edge are measured exactly.  In-place updates stay consistent: the
+    filter only ever deletes whole under-min-size components, so a
+    later window seeing an earlier window's deletions reaches the same
+    verdicts."""
+    w = lax.dynamic_slice(
+        mask_buf, tuple(ext_start[i] for i in range(len(ext_shape))), ext_shape)
+    kept = ccl.remove_small_components(w, min_size)
+    core = lax.dynamic_slice(
+        kept, tuple(core_off[i] for i in range(len(core_shape))), core_shape)
+    return lax.dynamic_update_slice(
+        mask_buf, core, tuple(core_start[i] for i in range(len(core_shape))))
+
+
+@partial(jax.jit, static_argnames=("ext_shape", "core_shape"),
+         donate_argnums=(0,))
+def _smooth_window(dst_buf, src_buf, ext_start, core_off, core_start,
+                   *, ext_shape, core_shape):
+    """uniform_filter(3) > 0.5, one halo-1 window into a double buffer
+    (the stencil must read pre-smooth neighbours)."""
+    w = lax.dynamic_slice(
+        src_buf, tuple(ext_start[i] for i in range(len(ext_shape))), ext_shape)
+    sm = uniform_filter(w.astype(jnp.float32), 3) > 0.5
+    core = lax.dynamic_slice(
+        sm, tuple(core_off[i] for i in range(len(core_shape))), core_shape)
+    return lax.dynamic_update_slice(
+        dst_buf, core, tuple(core_start[i] for i in range(len(core_shape))))
+
+
+@partial(jax.jit, static_argnames=("chunk_shape",))
+def _cell_fg_count(roots_buf, origin, *, chunk_shape):
+    o = tuple(origin[i] for i in range(len(chunk_shape)))
+    r = lax.dynamic_slice(roots_buf, o, chunk_shape)
+    return jnp.sum((r >= 0).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("chunk_shape", "cap"))
+def _cell_sparse(roots_buf, origin, *, chunk_shape, cap):
+    """Compacted (cell-local flat index, global root id) pairs for every
+    participating voxel of one cell."""
+    o = tuple(origin[i] for i in range(len(chunk_shape)))
+    r = lax.dynamic_slice(roots_buf, o, chunk_shape).reshape(-1)
+    fg = r >= 0
+    idx = jnp.flatnonzero(fg, size=cap, fill_value=r.shape[0] - 1)
+    return idx.astype(jnp.int32), r[idx]
+
+
+@jax.jit
+def _pack_mask_bits(mask_buf):
+    m8 = mask_buf.reshape(mask_buf.shape[:-1] + (-1, 8)).astype(jnp.uint8)
+    weights = jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8))
+    return (jnp.sum(m8 * weights, axis=-1).astype(jnp.uint8),
+            jnp.sum(mask_buf).astype(jnp.int64))
+
+
+class _HostUnionFind:
+    """Union-find over sparse int root ids (path-halving find).
+    ``nodes`` records every id ever unioned — including surviving roots,
+    which never appear as ``parent`` keys."""
+
+    def __init__(self):
+        self.parent = {}
+        self.nodes = set()
+
+    def find(self, x):
+        p = self.parent
+        while True:
+            px = p.get(x, x)
+            if px == x:
+                return x
+            ppx = p.get(px, px)
+            p[x] = ppx
+            x = ppx
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # keep the smaller id as root: roots are global min raveled
+            # indices, so merged minima (scipy's numbering key) fall out
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+    def union_pairs(self, a, b):
+        if len(a):
+            pairs = np.unique(np.stack([a, b], 1), axis=0)
+            for x, y in pairs:
+                x, y = int(x), int(y)
+                self.nodes.add(x)
+                self.nodes.add(y)
+                self.union(x, y)
+
+
+def _plane_pair_edges(left, right, connectivity):
+    """Cross-boundary adjacency pairs between two (ndim-1)-dim root
+    planes: aligned only for 'faces', all 3^(ndim-1) in-plane shifts for
+    'full' (26/8-connectivity)."""
+    import itertools
+
+    nd = left.ndim
+    shifts = ([(0,) * nd] if connectivity == "faces" else
+              list(itertools.product((-1, 0, 1), repeat=nd)))
+    pa, pb = [], []
+    for off in shifts:
+        lsl, rsl = [], []
+        for o in off:
+            if o > 0:
+                lsl.append(slice(None, -o))
+                rsl.append(slice(o, None))
+            elif o < 0:
+                lsl.append(slice(-o, None))
+                rsl.append(slice(None, o))
+            else:
+                lsl.append(slice(None))
+                rsl.append(slice(None))
+        lv = left[tuple(lsl)].reshape(-1)
+        rv = right[tuple(rsl)].reshape(-1)
+        sel = (lv >= 0) & (rv >= 0) & (lv != rv)
+        pa.append(lv[sel])
+        pb.append(rv[sel])
+    return np.concatenate(pa), np.concatenate(pb)
+
+
+def _internal_planes(shape, bounds):
+    """(axis, position) of every internal grid boundary: cells meet
+    between position-1 and position along ``axis``."""
+    out = []
+    for axis, cuts in enumerate(bounds):
+        for pos in cuts[1:-1]:
+            out.append((axis, pos))
+    return out
+
+
+def _plane_slab(roots_buf, shape, axis, pos, side):
+    start = [0] * len(shape)
+    start[axis] = pos - 1 if side == "L" else pos
+    plane_shape = list(shape)
+    plane_shape[axis] = 1
+    arr = np.asarray(_pull_plane(
+        roots_buf, jnp.asarray(start, jnp.int32), plane_shape=tuple(plane_shape)))
+    return np.squeeze(arr, axis=axis)
+
+
+def _merge_cells(roots_buf, shape, bounds, connectivity, *, border_outside=False):
+    """Pull every internal boundary plane pair (plus, for fill, the six
+    volume border planes), run the host union-find, and return
+    (uf, outside_root_set_or_None, bytes_down)."""
+    uf = _HostUnionFind()
+    bytes_down = 0
+    for axis, pos in _internal_planes(shape, bounds):
+        left = _plane_slab(roots_buf, shape, axis, pos, "L")
+        right = _plane_slab(roots_buf, shape, axis, pos, "R")
+        bytes_down += left.nbytes + right.nbytes
+        a, b = _plane_pair_edges(left, right, connectivity)
+        uf.union_pairs(a, b)
+    outside = None
+    if border_outside:
+        border_roots = []
+        for axis in range(len(shape)):
+            for pos, side in ((1, "L"), (shape[axis] - 1, "R")):
+                plane = _plane_slab(roots_buf, shape, axis, pos, side)
+                bytes_down += plane.nbytes
+                border_roots.append(np.unique(plane[plane >= 0]))
+        border_roots = (np.unique(np.concatenate(border_roots))
+                        if border_roots else np.empty(0, np.int64))
+        outside_final = {uf.find(int(r)) for r in border_roots}
+        # every id the graph has ever seen that finds into an
+        # outside-connected component, plus the border roots themselves
+        known = uf.nodes | {int(r) for r in border_roots}
+        outside = {r for r in known if uf.find(r) in outside_final}
+    return uf, outside, bytes_down
+
+
+def _sorted_table_dev(ids):
+    """Sorted int32 device table padded to a power-of-two bucket (keeps
+    the per-cell isin program count logarithmic)."""
+    arr = np.asarray(sorted(ids), np.int32)
+    bucket = max(8, 1 << int(np.ceil(np.log2(max(1, len(arr))))))
+    out = np.full(bucket, _I32_PAD, np.int32)
+    out[: len(arr)] = arr
+    return jnp.asarray(out), out.nbytes
+
+
+def _pow2_cap(count, n_local):
+    return int(min(n_local, max(1024, 1 << int(np.ceil(np.log2(max(1, count)))))))
+
+
+def _fill_holes_chunked(mask_buf, shape, bounds):
+    """scipy binary_fill_holes semantics: bg components not connected to
+    the volume border become foreground."""
+    roots_buf = jnp.zeros(shape, jnp.int32)
+    for origin, cshape in _iter_cells(bounds):
+        roots_buf, _ = _cell_roots(
+            roots_buf, mask_buf, jnp.asarray(origin, jnp.int32),
+            chunk_shape=cshape, vol_shape=shape, invert=True,
+            connectivity="faces", table_cap=0)
+    uf, outside, bytes_down = _merge_cells(
+        roots_buf, shape, bounds, "faces", border_outside=True)
+    table, up = _sorted_table_dev(outside)
+    for origin, cshape in _iter_cells(bounds):
+        mask_buf = _cell_isin_update(
+            mask_buf, roots_buf, table, jnp.asarray(origin, jnp.int32),
+            chunk_shape=cshape, mode="fill")
+    del roots_buf
+    return mask_buf, bytes_down, up
+
+
+def _remove_small_chunked(mask_buf, shape, bounds, min_size,
+                          table_cap=1 << 18):
+    """Global area filter for min_size too large for exact halo windows:
+    per-cell roots + size census, host merge, sorted-table removal."""
+    roots_buf = jnp.zeros(shape, jnp.int32)
+    tables = []
+    bytes_down = 0
+    for origin, cshape in _iter_cells(bounds):
+        cap = table_cap
+        while True:
+            roots_buf, tab = _cell_roots(
+                roots_buf, mask_buf, jnp.asarray(origin, jnp.int32),
+                chunk_shape=cshape, vol_shape=shape, invert=False,
+                connectivity="full", table_cap=cap)
+            g_tab, counts, n_distinct = tab
+            if int(n_distinct) <= cap:
+                break
+            cap = _pow2_cap(int(n_distinct), int(np.prod(cshape)))
+        g_tab = np.asarray(g_tab)
+        counts = np.asarray(counts)
+        bytes_down += g_tab.nbytes + counts.nbytes
+        sel = g_tab >= 0
+        tables.append((g_tab[sel], counts[sel]))
+    uf, _, planes_down = _merge_cells(roots_buf, shape, bounds, "full")
+    bytes_down += planes_down
+    total = {}
+    for g_tab, counts in tables:
+        for r, c in zip(g_tab.tolist(), counts.tolist()):
+            f = uf.find(r)
+            total[f] = total.get(f, 0) + c
+    small = [r for g_tab, _ in tables for r in g_tab.tolist()
+             if total[uf.find(r)] < min_size]
+    table, up = _sorted_table_dev(small)
+    for origin, cshape in _iter_cells(bounds):
+        mask_buf = _cell_isin_update(
+            mask_buf, roots_buf, table, jnp.asarray(origin, jnp.int32),
+            chunk_shape=cshape, mode="remove")
+    del roots_buf
+    return mask_buf, bytes_down, up
+
+
+def _label_chunked(mask_buf, shape, bounds):
+    """Final scipy-ordered labels: per-cell roots, host merge, sparse
+    per-cell pulls mapped through the merged numbering.  Returns
+    (labels uint16 host array, n_components, fg_count, bytes_down)."""
+    roots_buf = jnp.zeros(shape, jnp.int32)
+    for origin, cshape in _iter_cells(bounds):
+        roots_buf, _ = _cell_roots(
+            roots_buf, mask_buf, jnp.asarray(origin, jnp.int32),
+            chunk_shape=cshape, vol_shape=shape, invert=False,
+            connectivity="full", table_cap=0)
+    uf, _, bytes_down = _merge_cells(roots_buf, shape, bounds, "full")
+
+    cells = []
+    for origin, cshape in _iter_cells(bounds):
+        count = int(_cell_fg_count(
+            roots_buf, jnp.asarray(origin, jnp.int32), chunk_shape=cshape))
+        if count == 0:
+            continue
+        cap = _pow2_cap(count, int(np.prod(cshape)))
+        idx, vals = _cell_sparse(
+            roots_buf, jnp.asarray(origin, jnp.int32),
+            chunk_shape=cshape, cap=cap)
+        idx = np.asarray(idx)[:count]
+        vals = np.asarray(vals)[:count]
+        bytes_down += idx.nbytes + vals.nbytes + 4
+        cells.append((origin, cshape, idx, vals))
+    del roots_buf
+
+    # chunk-level root -> merged component minimum (the scipy order key)
+    all_roots = (np.unique(np.concatenate([v for *_, v in cells]))
+                 if cells else np.empty(0, np.int32))
+    final_of = np.asarray([uf.find(int(r)) for r in all_roots], np.int64)
+    finals, inverse = np.unique(final_of, return_inverse=True)
+    labels_of_final = np.empty(len(finals), np.int64)
+    labels_of_final[np.argsort(finals)] = np.arange(1, len(finals) + 1)
+    label_of_root = labels_of_final[inverse]  # aligned with all_roots
+
+    labels = np.zeros(int(np.prod(shape)), np.uint16)
+    strides = _vol_strides(shape)
+    fg_count = 0
+    for origin, cshape, idx, vals in cells:
+        lab = label_of_root[np.searchsorted(all_roots, vals)]
+        coords = np.unravel_index(idx.astype(np.int64), cshape)
+        gflat = sum((c + o) * s for c, o, s in zip(coords, origin, strides))
+        labels[gflat] = lab.astype(np.uint16)
+        fg_count += len(idx)
+    return labels.reshape(shape), int(len(finals)), fg_count, bytes_down
+
+
+def _segment_chunked(volume, params, min_area, emit, max_chunk_voxels,
+                     vessel_dtype, threshold_sampling_pixels, histogram_nbins):
+    """Chunked strategy driver — see the module docstring."""
+    shape = volume.shape
+    if int(np.prod(shape)) >= 2**31:
+        raise ValueError("chunked capacity path supports < 2^31 voxels")
+    dev = jax.devices()[0]
+
+    # P0: vesselness accumulation (same as the monolith)
+    sigma_vec = params.sigma_vec(max(params.sigmas))
+    halo = tuple(int(np.ceil(params.truncate * float(s))) for s in sigma_vec)
+    chunk_shape = compute_chunk_shape(shape, max_chunk_voxels)
+    core_shape, _ = uniform_window_shapes(shape, chunk_shape, halo)
+    vessel_buf = jax.device_put(jnp.zeros(shape, vessel_dtype), dev)
+    bytes_up = 0
+    n_windows = 0
+    for owned, ext, offset, local in iter_uniform_windows(shape, chunk_shape, halo):
+        window = np.ascontiguousarray(volume[ext])
+        bytes_up += window.nbytes
+        n_windows += 1
+        core_start = tuple(e.start + o for e, o in zip(ext, offset))
+        vessel_buf = _accumulate_window(
+            vessel_buf, jax.device_put(window, dev),
+            jnp.asarray(offset, jnp.int32),
+            jnp.asarray(core_start, jnp.int32), params, core_shape)
+
+    # P1/P2: thresholds from strided device samples, opening-mask
+    # windows (halo 2), then the elementwise mask combine
+    step = max(int(np.prod(shape)) // max(1, threshold_sampling_pixels), 1)
+    sample = _strided_sample(vessel_buf, step=step)
+    pct = _pct_from_sample(sample)
+    m1o_buf = jnp.zeros(shape, bool)
+    mwin_shape = compute_chunk_shape(shape, _CCL_CELL_MAX_VOX)
+    m_core, m_ext = uniform_window_shapes(shape, mwin_shape, (2,) * len(shape))
+    for owned, ext, offset, local in iter_uniform_windows(
+            shape, mwin_shape, (2,) * len(shape)):
+        core_start = tuple(e.start + o for e, o in zip(ext, offset))
+        m1o_buf = _m1o_window(
+            m1o_buf, vessel_buf, pct,
+            jnp.asarray([e.start for e in ext], jnp.int32),
+            jnp.asarray(offset, jnp.int32),
+            jnp.asarray(core_start, jnp.int32),
+            ext_shape=m_ext, core_shape=m_core)
+    thr = _thr_from_samples(
+        sample, _strided_sample_bool(m1o_buf, step=step), histogram_nbins)
+    mask_buf = _mask_from_vessel(vessel_buf, m1o_buf, thr)
+    del vessel_buf, m1o_buf, sample
+
+    bounds = _ccl_grid(shape)
+    bytes_down = 0
+
+    # P3: hole filling (3D only — matches the monolith's fill flag)
+    if volume.ndim == 3:
+        mask_buf, down, up = _fill_holes_chunked(mask_buf, shape, bounds)
+        bytes_down += down
+        bytes_up += up
+
+    # P4: area filter
+    if min_area > 1:
+        if min_area - 1 <= _WINDOWED_REMOVE_MAX_HALO:
+            rhalo = (min_area - 1,) * len(shape)
+            r_core, r_ext = uniform_window_shapes(shape, mwin_shape, rhalo)
+            for owned, ext, offset, local in iter_uniform_windows(
+                    shape, mwin_shape, rhalo):
+                core_start = tuple(e.start + o for e, o in zip(ext, offset))
+                mask_buf = _remove_small_window(
+                    mask_buf,
+                    jnp.asarray([e.start for e in ext], jnp.int32),
+                    jnp.asarray(offset, jnp.int32),
+                    jnp.asarray(core_start, jnp.int32),
+                    ext_shape=r_ext, core_shape=r_core, min_size=min_area)
+        else:
+            mask_buf, down, up = _remove_small_chunked(
+                mask_buf, shape, bounds, min_area)
+            bytes_down += down
+            bytes_up += up
+
+    # P5: 3^ndim mean smoothing (> 0.5), double-buffered halo-1 windows
+    s_core, s_ext = uniform_window_shapes(shape, mwin_shape, (1,) * len(shape))
+    dst = jnp.zeros(shape, bool)
+    for owned, ext, offset, local in iter_uniform_windows(
+            shape, mwin_shape, (1,) * len(shape)):
+        core_start = tuple(e.start + o for e, o in zip(ext, offset))
+        dst = _smooth_window(
+            dst, mask_buf,
+            jnp.asarray([e.start for e in ext], jnp.int32),
+            jnp.asarray(offset, jnp.int32),
+            jnp.asarray(core_start, jnp.int32),
+            ext_shape=s_ext, core_shape=s_core)
+    mask_buf = dst
+
+    if emit == "mask":
+        packed_dev, fg_dev = _pack_mask_bits(mask_buf)
+        packed = np.asarray(packed_dev)
+        bytes_down += packed.nbytes
+        logger.info("capacity segment (chunked): %d windows, %.2f GB up, "
+                    "%.2f GB down", n_windows, bytes_up / 1e9, bytes_down / 1e9)
+        return {"mask_packed": packed, "fg_count": int(fg_dev), "emit": "mask",
+                "strategy": "chunked",
+                "bytes_up": bytes_up, "bytes_down": bytes_down}
+
+    labels, n_labels, fg_count, down = _label_chunked(mask_buf, shape, bounds)
+    bytes_down += down
+    label_overflow = n_labels > 0xFFFF
+    if label_overflow:
+        logger.error(
+            "capacity segment: %d components exceed the uint16 label "
+            "emit — labels are wrapped and must not be used; run the "
+            "standard Filter+Label path (int32 labels) for this volume",
+            n_labels)
+    logger.info("capacity segment (chunked): %d windows, %.2f GB up, "
+                "%.2f GB down", n_windows, bytes_up / 1e9, bytes_down / 1e9)
+    return {"labels": labels, "n_labels": n_labels, "fg_count": fg_count,
+            "label_overflow": label_overflow, "emit": "sparse_labels",
+            "strategy": "chunked",
+            "bytes_up": bytes_up, "bytes_down": bytes_down}
+
+
 def segment_path(
     filepath,
     emit: str = "sparse_labels",
@@ -195,15 +805,31 @@ def segment_volume(
     vessel_dtype=jnp.float16,
     threshold_sampling_pixels: int = 1_000_000,
     histogram_nbins: int = 256,
+    strategy: str = "auto",
+    monolith_max_voxels: int = int(4.0e7),
 ):
     """Segment one large (Z, Y, X) volume; returns a dict with the
     product (``labels`` uint16 or bit-packed ``mask`` + ``fg_count``),
     the label/fg counts and the measured ``bytes_up``/``bytes_down``.
 
+    ``strategy``: "monolith" runs finalize+CCL as one whole-volume XLA
+    program (fastest when it fits — its fixpoint temporaries exceed HBM
+    around ~50 Mvox); "chunked" decomposes every global op into
+    per-grid-cell programs merged by a host union-find over boundary
+    planes (scales to the int32 index limit, 2^31 voxels); "auto" picks
+    by ``monolith_max_voxels``.
+
     The X extent must be a multiple of 8 for emit="mask" (bit packing).
     """
     volume = np.asarray(volume)
     shape = volume.shape
+    if strategy not in ("auto", "monolith", "chunked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "chunked" or (strategy == "auto"
+                                 and int(np.prod(shape)) > monolith_max_voxels):
+        return _segment_chunked(
+            volume, params, min_area, emit, max_chunk_voxels,
+            vessel_dtype, threshold_sampling_pixels, histogram_nbins)
     sigma_vec = params.sigma_vec(max(params.sigmas))
     halo = tuple(int(np.ceil(params.truncate * float(s))) for s in sigma_vec)
     chunk_shape = compute_chunk_shape(shape, max_chunk_voxels)
@@ -252,7 +878,7 @@ def segment_volume(
                 volume, params, min_area=min_area, emit="labels",
                 max_chunk_voxels=max_chunk_voxels, vessel_dtype=vessel_dtype,
                 threshold_sampling_pixels=threshold_sampling_pixels,
-                histogram_nbins=histogram_nbins)
+                histogram_nbins=histogram_nbins, strategy="monolith")
         packed = np.asarray(packed_dev)
         vals = np.asarray(vals_dev)
         bytes_down = packed.nbytes + vals.nbytes
@@ -264,7 +890,7 @@ def segment_volume(
                     "(sparse)", n_windows, bytes_up / 1e9, bytes_down / 1e9)
         return {"labels": labels.reshape(shape), "n_labels": int(count),
                 "fg_count": fg_count, "label_overflow": label_overflow,
-                "emit": "sparse_labels",
+                "emit": "sparse_labels", "strategy": "monolith",
                 "bytes_up": bytes_up, "bytes_down": bytes_down}
     result = np.asarray(out)
     bytes_down = result.nbytes
@@ -272,10 +898,12 @@ def segment_volume(
                 n_windows, bytes_up / 1e9, bytes_down / 1e9)
     if emit == "mask":
         return {"mask_packed": result, "fg_count": int(count), "emit": "mask",
+                "strategy": "monolith",
                 "bytes_up": bytes_up, "bytes_down": bytes_down}
     # "emit" records what actually produced the result — the sparse path
     # falls back here on capacity overflow, and the caller's requested
     # emit would then mislabel the measured bytes (ADVICE r3)
     return {"labels": result, "n_labels": int(count),
             "label_overflow": label_overflow, "emit": "labels",
+            "strategy": "monolith",
             "bytes_up": bytes_up, "bytes_down": bytes_down}

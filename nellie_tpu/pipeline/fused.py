@@ -64,20 +64,25 @@ from nellie_tpu.utils.base_logger import logger
 
 # One frame's eight artifact pulls ride a SINGLE uint8 blob (one device
 # program, one device->host round trip — the tunnel costs ~20 ms per
-# pull).  Support masks are shared: labels/branch/distance all vanish
-# exactly where the instance mask does, and pixel_class where the
-# skeleton does, so one bit-packed mask covers each group (a superset
-# support is lossless — zeros scatter as zeros).
-#   group 1 (labels>0):  labels i32, branch i32, distance f32
-#   group 2 (skel>0):    skel i32, pixel_class u8
-#   group 3 (frangi>0):  frangi f32
-#   marker, border:      0/1 masks, packed bits only
-_BLOB_GROUPS = (
-    ("labels", ("labels", "branch", "distance")),
-    ("skel", ("skel", "pixel_class")),
-    ("frangi", ("frangi",)),
-)
-_BLOB_MASKS = ("marker", "border")
+# pull).  Support containment does the heavy lifting: skeleton values
+# are branch labels masked to skel>0 within the instance mask, pixel
+# classes live on skeleton voxels, markers are NMS peaks inside the
+# mask, and the clamped EDT is positive exactly on the mask — so ONE
+# bit-packed support (labels>0, OR'd with pixel_class for safety)
+# carries six members gathered at the same compacted positions (a
+# superset support is lossless — zeros scatter as zeros).  Label-valued
+# members cross the link as uint16 (their device-side maxima ride a tail
+# word; host falls back to the dense pull on the rare >65535 frame).
+#   group L (labels>0|pc!=0): labels u16, branch u16, skel u16,
+#                             pixel_class u8, marker u8, distance f32
+#   group F (frangi>0):       frangi f32 (denser support: own, wider cap)
+#   border:                   0/1 mask, packed bits only
+#   tail:                     int32 maxima [labels, branch, skel]
+_BLOB_L_MEMBERS = ("labels", "branch", "skel", "pixel_class", "marker",
+                   "distance")
+_BLOB_U16 = frozenset(("labels", "branch", "skel"))
+_BLOB_L_CAP_DIV = 32   # 3.1% fg capacity; measured group max 1.6%
+_BLOB_F_CAP_DIV = 16   # finalized vesselness support is denser
 
 
 def _u8(a):
@@ -87,59 +92,93 @@ def _u8(a):
     return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
 
 
+def _blob_member_dev(arrs, k):
+    v = arrs[k].reshape(-1)
+    if k in _BLOB_U16:
+        return v.astype(jnp.uint16)
+    if k == "marker":
+        return v.astype(jnp.uint8)
+    return v
+
+
+def _blob_member_width(k, dense_dtype):
+    if k in _BLOB_U16:
+        return 2, np.uint16
+    if k == "marker":
+        return 1, np.uint8
+    return np.dtype(dense_dtype).itemsize, dense_dtype
+
+
 @jax.jit
 def _sparse_pull_bundle(arrs):
     size = int(np.prod(arrs["labels"].shape))
     if size < transfer.MIN_COMPRESS_ELEMS or size % 8:
         return {"dense": arrs}
-    cap = size // transfer.SPARSE_CAP_DIV
     pieces = []
-    for support_key, members in _BLOB_GROUPS:
-        fg = arrs[support_key].reshape(-1) != 0
-        if support_key == "skel":
-            # pixel_class keeps junction/tip voxels whose branch label
-            # is 0 — the group support must cover both members
-            fg = fg | (arrs["pixel_class"].reshape(-1) != 0)
-        pieces.append(transfer.packbits(fg))
-        idx = jnp.flatnonzero(fg, size=cap, fill_value=size - 1)
-        pieces.extend(_u8(arrs[k].reshape(-1)[idx]) for k in members)
-    for k in _BLOB_MASKS:
-        pieces.append(transfer.packbits(arrs[k].reshape(-1) != 0))
+    fg = (arrs["labels"].reshape(-1) != 0) | (arrs["pixel_class"].reshape(-1) != 0)
+    cap_l = size // _BLOB_L_CAP_DIV
+    pieces.append(transfer.packbits(fg))
+    idx = jnp.flatnonzero(fg, size=cap_l, fill_value=size - 1)
+    pieces.extend(_u8(_blob_member_dev(arrs, k)[idx]) for k in _BLOB_L_MEMBERS)
+
+    ffg = arrs["frangi"].reshape(-1) != 0
+    cap_f = size // _BLOB_F_CAP_DIV
+    pieces.append(transfer.packbits(ffg))
+    fidx = jnp.flatnonzero(ffg, size=cap_f, fill_value=size - 1)
+    pieces.append(_u8(arrs["frangi"].reshape(-1)[fidx]))
+
+    pieces.append(transfer.packbits(arrs["border"].reshape(-1) != 0))
+    tail = jnp.stack([jnp.max(arrs[k]).astype(jnp.int32)
+                      for k in ("labels", "branch", "skel")])
+    pieces.append(_u8(tail))
     return {"blob": jnp.concatenate(pieces), "dense": arrs}
 
 
 def _finish_blob(pulls, shape, key, out_dtype):
     """Slice one artifact out of the blob pull (layout mirrors
-    :func:`_sparse_pull_bundle`); dense fallback on group overflow."""
+    :func:`_sparse_pull_bundle`); dense fallback on support-capacity or
+    uint16 overflow."""
     if "blob" not in pulls:
         return np.asarray(pulls["dense"][key], out_dtype)
     blob = pulls["_blob_host"]
     size = int(np.prod(shape))
-    cap = size // transfer.SPARSE_CAP_DIV
-    off = 0
-    for support_key, members in _BLOB_GROUPS:
-        bits_at = off
-        off += size // 8
-        for k in members:
-            width = np.dtype(pulls["dense"][k].dtype).itemsize
+    cap_l = size // _BLOB_L_CAP_DIV
+    cap_f = size // _BLOB_F_CAP_DIV
+    widths = [_blob_member_width(k, pulls["dense"][k].dtype)[0]
+              for k in _BLOB_L_MEMBERS]
+    f_off = size // 8 + cap_l * sum(widths)
+    b_off = f_off + size // 8 + cap_f * 4
+    tail_at = b_off + size // 8
+    maxima = dict(zip(("labels", "branch", "skel"),
+                      np.frombuffer(blob[tail_at:tail_at + 12].tobytes(),
+                                    np.int32).tolist()))
+
+    def scatter(bits_at, cap, voff, k):
+        bits = np.unpackbits(blob[bits_at:bits_at + size // 8],
+                             bitorder="little")
+        idx = np.flatnonzero(bits)
+        if len(idx) > cap:  # support overflow: dense fallback
+            return np.asarray(pulls["dense"][k], out_dtype)
+        width, wire_dtype = _blob_member_width(k, pulls["dense"][k].dtype)
+        vals = np.frombuffer(blob[voff:voff + cap * width].tobytes(),
+                             dtype=wire_dtype)[: len(idx)]
+        out = np.zeros(size, out_dtype)
+        out[idx] = vals.astype(out_dtype, copy=False)
+        return out.reshape(shape)
+
+    if key in _BLOB_L_MEMBERS:
+        if key in _BLOB_U16 and maxima[key] >= (1 << 16):
+            return np.asarray(pulls["dense"][key], out_dtype)
+        voff = size // 8
+        for k, w in zip(_BLOB_L_MEMBERS, widths):
             if k == key:
-                bits = np.unpackbits(blob[bits_at:bits_at + size // 8],
-                                     bitorder="little")
-                idx = np.flatnonzero(bits)
-                if len(idx) > cap:  # support overflow: dense fallback
-                    return np.asarray(pulls["dense"][key], out_dtype)
-                vals = np.frombuffer(
-                    blob[off:off + cap * width].tobytes(),
-                    dtype=pulls["dense"][k].dtype)[: len(idx)]
-                out = np.zeros(size, out_dtype)
-                out[idx] = vals.astype(out_dtype, copy=False)
-                return out.reshape(shape)
-            off += cap * width
-    for k in _BLOB_MASKS:
-        if k == key:
-            bits = np.unpackbits(blob[off:off + size // 8], bitorder="little")
-            return bits.reshape(shape).astype(out_dtype, copy=False)
-        off += size // 8
+                return scatter(0, cap_l, voff, key)
+            voff += cap_l * w
+    if key == "frangi":
+        return scatter(f_off, cap_f, f_off + size // 8, "frangi")
+    if key == "border":
+        bits = np.unpackbits(blob[b_off:b_off + size // 8], bitorder="little")
+        return bits.reshape(shape).astype(out_dtype, copy=False)
     raise KeyError(key)
 
 

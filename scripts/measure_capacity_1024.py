@@ -61,8 +61,8 @@ def main() -> None:
     ap.add_argument("--edge", type=int, default=1024)
     ap.add_argument("--emit", default="sparse_labels",
                     choices=["labels", "sparse_labels", "mask"])
-    ap.add_argument("--no-warmup", action="store_true",
-                    help="skip the small-volume compile warmup")
+    ap.add_argument("--cold-only", action="store_true",
+                    help="skip the second (warm, compile-free) run")
     args = ap.parse_args()
 
     from nellie_tpu.kernels import frangi as frangi_k
@@ -74,21 +74,23 @@ def main() -> None:
     params = frangi_k.FrangiParams(
         sigmas=(0.75, 1.1, 1.6), spacing=(1.0, 1.0, 1.0), z_ratio=1.0)
 
-    # warm the window kernel's compile cache: a volume a little larger
-    # than one chunk compiles _accumulate_window at the SAME window shape
-    # the big run uses, so the timed loop pays zero per-window compiles
-    # (the full-volume _segment_from_vessel compile is shape-bound to
-    # edge^3 and unavoidable; it is reported separately below)
-    warm_s = None
-    if not args.no_warmup and args.edge > 384:
-        t_w = time.perf_counter()
-        capacity.segment_volume(make_volume(384, seed=1), params, emit=args.emit)
-        warm_s = round(time.perf_counter() - t_w, 1)
-        print(f"[capacity] warmup (384^3): {warm_s}s", file=sys.stderr)
-
+    # Per-cell programs are shape-bound to the full volume (the HBM
+    # buffers appear in every program signature), so no small-volume
+    # warmup can pre-compile them.  Instead: run the target volume
+    # twice in one process — the first (cold) run pays every compile,
+    # the second is pure steady-state.  Headline = warm throughput,
+    # with the cold wall-clock recorded alongside (ADVICE r3).
     t1 = time.perf_counter()
     out = capacity.segment_volume(vol, params, emit=args.emit)
-    seg_s = time.perf_counter() - t1
+    cold_s = time.perf_counter() - t1
+    print(f"[capacity] cold run ({out.get('strategy')}): {cold_s:.1f}s",
+          file=sys.stderr)
+
+    seg_s = cold_s
+    if not args.cold_only:
+        t2 = time.perf_counter()
+        out = capacity.segment_volume(vol, params, emit=args.emit)
+        seg_s = time.perf_counter() - t2
 
     nvox = vol.size
     rec = {
@@ -96,8 +98,9 @@ def main() -> None:
         "value": round(nvox / seg_s / 1e6, 2),
         "unit": "Mvox/s",
         "seconds": round(seg_s, 1),
+        "cold_seconds": round(cold_s, 1),
         "gen_seconds": round(gen_s, 1),
-        "warmup_seconds": warm_s,
+        "strategy": out.get("strategy"),
         # what actually ran: sparse capacity overflow silently falls back
         # to the dense emit inside segment_volume (ADVICE r3)
         "effective_emit": out.get("emit", args.emit),

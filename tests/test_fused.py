@@ -126,3 +126,75 @@ def test_fused_stage_fencing_times(tmp_path):
     times = seg.run(fence_stages=True)
     assert set(times) == {"filter", "label", "network", "markers"}
     assert all(v > 0 for v in times.values())
+
+
+def test_blob_codec_roundtrip_and_fallbacks():
+    """The single-blob sparse pull (pipeline/fused.py) must round-trip
+    every member exactly, honor support containment (skel/pc/marker/
+    distance ride the labels support), and fall back to the dense pull
+    on uint16 overflow."""
+    import jax.numpy as jnp
+    from nellie_tpu.pipeline import fused
+
+    shape = (16, 512, 512)  # 4.2 Mvox: above MIN_COMPRESS_ELEMS
+    size = int(np.prod(shape))
+    rng = np.random.default_rng(0)
+    mask = np.zeros(shape, bool)
+    mask[4:8, 100:180, 50:300] = True          # ~1% fg
+    labels = np.where(mask, rng.integers(1, 300, shape), 0).astype(np.int32)
+    branch = np.where(mask, rng.integers(0, 200, shape), 0).astype(np.uint32)
+    skel = np.zeros(shape, np.int32)
+    skel[5, 120:160, 60:280] = rng.integers(1, 50, (40, 220))
+    pc = np.zeros(shape, np.uint8)
+    pc[5, 120:160, 60:280] = rng.integers(0, 4, (40, 220))
+    marker = np.zeros(shape, np.uint8)
+    marker[5, 125, 70:90] = 1
+    distance = np.where(mask, rng.random(shape).astype(np.float32) + 0.1, 0.0)
+    frangi = np.where(rng.random(shape) < 0.04, rng.random(shape), 0.0).astype(np.float32)
+    border = (rng.random(shape) < 0.01).astype(np.uint8)
+
+    arrs = {k: jnp.asarray(v) for k, v in dict(
+        labels=labels, branch=branch, skel=skel, pixel_class=pc,
+        marker=marker, distance=distance.astype(np.float32),
+        frangi=frangi, border=border).items()}
+    pulls = fused._sparse_pull_bundle(arrs)
+    assert "blob" in pulls
+    pulls["_blob_host"] = np.asarray(pulls["blob"])
+
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "labels", np.int32), labels)
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "branch", np.uint32), branch)
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "skel", np.int32), skel)
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "pixel_class", np.uint8), pc)
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "marker", np.uint8), marker)
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "distance", np.float32),
+        distance.astype(np.float32))
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "frangi", np.float32), frangi)
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "border", np.uint8), border)
+
+    # uint16 overflow on a label-valued member -> dense fallback, exact
+    big = labels.copy()
+    big[5, 120, 60] = 70000
+    arrs["labels"] = jnp.asarray(big)
+    pulls = fused._sparse_pull_bundle(arrs)
+    pulls["_blob_host"] = np.asarray(pulls["blob"])
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "labels", np.int32), big)
+    # other members still decode from the blob
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "branch", np.uint32), branch)
+
+    # support-capacity overflow (dense frangi) -> dense fallback, exact
+    dense_frangi = (rng.random(shape) + 0.1).astype(np.float32)
+    arrs["frangi"] = jnp.asarray(dense_frangi)
+    pulls = fused._sparse_pull_bundle(arrs)
+    pulls["_blob_host"] = np.asarray(pulls["blob"])
+    np.testing.assert_array_equal(
+        fused._finish_blob(pulls, shape, "frangi", np.float32), dense_frangi)
