@@ -31,6 +31,9 @@ Only the final product crosses the link:
                         (~0.27 GB at 1024³; dense labels rebuilt on host)
   emit="mask"           bit-packed foreground mask   (0.13 GB at 1024³)
 
+(>65535 components: the chunked strategy widens host assembly to int32
+at no link cost; the monolith re-routes itself through it.)
+
 Total bytes at 1024³: ~2.5 GB up (uint16 raw windows incl. halo
 overlap) + 2.1 GB down (labels) ≈ 4.6 GB — or ~2.7 GB with
 emit="mask" (~3x less than round 2's 7.9 GB).  ``bytes_up``/
@@ -580,7 +583,9 @@ def _remove_small_chunked(mask_buf, shape, bounds, min_size,
 def _label_chunked(mask_buf, shape, bounds):
     """Final scipy-ordered labels: per-cell roots, host merge, sparse
     per-cell pulls mapped through the merged numbering.  Returns
-    (labels uint16 host array, n_components, fg_count, bytes_down)."""
+    (labels host array — uint16, widened to int32 when >65535
+    components; the widening is host-side only, link bytes are the
+    int32 root pulls either way — n_components, fg_count, bytes_down)."""
     roots_buf = jnp.zeros(shape, jnp.int32)
     for origin, cshape in _iter_cells(bounds):
         roots_buf, _ = _cell_roots(
@@ -614,14 +619,15 @@ def _label_chunked(mask_buf, shape, bounds):
     labels_of_final[np.argsort(finals)] = np.arange(1, len(finals) + 1)
     label_of_root = labels_of_final[inverse]  # aligned with all_roots
 
-    labels = np.zeros(int(np.prod(shape)), np.uint16)
+    out_dtype = np.uint16 if len(finals) <= 0xFFFF else np.int32
+    labels = np.zeros(int(np.prod(shape)), out_dtype)
     strides = _vol_strides(shape)
     fg_count = 0
     for origin, cshape, idx, vals in cells:
         lab = label_of_root[np.searchsorted(all_roots, vals)]
         coords = np.unravel_index(idx.astype(np.int64), cshape)
         gflat = sum((c + o) * s for c, o, s in zip(coords, origin, strides))
-        labels[gflat] = lab.astype(np.uint16)
+        labels[gflat] = lab.astype(out_dtype)
         fg_count += len(idx)
     return labels.reshape(shape), int(len(finals)), fg_count, bytes_down
 
@@ -729,17 +735,16 @@ def _segment_chunked(volume, params, min_area, emit, max_chunk_voxels,
 
     labels, n_labels, fg_count, down = _label_chunked(mask_buf, shape, bounds)
     bytes_down += down
-    label_overflow = n_labels > 0xFFFF
-    if label_overflow:
-        logger.error(
-            "capacity segment: %d components exceed the uint16 label "
-            "emit — labels are wrapped and must not be used; run the "
-            "standard Filter+Label path (int32 labels) for this volume",
-            n_labels)
+    if n_labels > 0xFFFF:
+        # _label_chunked widened the host assembly to int32 — exact
+        # labels, no extra link bytes (the pulls are int32 roots)
+        logger.info(
+            "capacity segment: %d components exceed uint16 — labels "
+            "widened to int32 on the host", n_labels)
     logger.info("capacity segment (chunked): %d windows, %.2f GB up, "
                 "%.2f GB down", n_windows, bytes_up / 1e9, bytes_down / 1e9)
     return {"labels": labels, "n_labels": n_labels, "fg_count": fg_count,
-            "label_overflow": label_overflow, "emit": "sparse_labels",
+            "label_overflow": False, "emit": "sparse_labels",
             "strategy": "chunked",
             "bytes_up": bytes_up, "bytes_down": bytes_down}
 
@@ -809,8 +814,9 @@ def segment_volume(
     monolith_max_voxels: int = int(4.0e7),
 ):
     """Segment one large (Z, Y, X) volume; returns a dict with the
-    product (``labels`` uint16 or bit-packed ``mask`` + ``fg_count``),
-    the label/fg counts and the measured ``bytes_up``/``bytes_down``.
+    product (``labels`` uint16 — int32 when >65535 components — or
+    bit-packed ``mask`` + ``fg_count``), the label/fg counts and the
+    measured ``bytes_up``/``bytes_down``.
 
     ``strategy``: "monolith" runs finalize+CCL as one whole-volume XLA
     program (fastest when it fits — its fixpoint temporaries exceed HBM
@@ -857,13 +863,17 @@ def segment_volume(
         threshold_sampling_pixels, emit)
     label_overflow = emit != "mask" and int(count) > 0xFFFF
     if label_overflow:
-        # the uint16 byte-cut emits can't represent >65535 components;
-        # wrapped ids would silently merge/erase labels downstream
-        logger.error(
-            "capacity segment: %d components exceed the uint16 label "
-            "emit — labels are wrapped and must not be used; run the "
-            "standard Filter+Label path (int32 labels) for this volume",
-            int(count))
+        # the monolith's uint16 device emits can't represent >65535
+        # components (wrapped ids would silently merge/erase labels);
+        # the chunked strategy pulls int32 roots and assembles exact
+        # labels on the host — re-run through it (costs one re-upload)
+        logger.warning(
+            "capacity segment: %d components exceed the monolith's "
+            "uint16 label emit; re-running via the chunked strategy "
+            "(exact int32 host assembly)", int(count))
+        return _segment_chunked(
+            volume, params, min_area, emit, max_chunk_voxels,
+            vessel_dtype, threshold_sampling_pixels, histogram_nbins)
     if emit == "sparse_labels":
         packed_dev, vals_dev, fg_dev = out
         fg_count = int(fg_dev)

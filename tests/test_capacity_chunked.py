@@ -69,6 +69,24 @@ def test_chunked_label_2d_matches_scipy():
     np.testing.assert_array_equal(labels.astype(np.int64), ref)
 
 
+def test_chunked_label_widens_past_uint16():
+    """>65535 components must widen the host assembly to int32 with
+    exact scipy numbering — not wrap (round-3 error path retired)."""
+    from scipy import ndimage
+
+    mask = np.zeros((32, 128, 128), bool)
+    mask[::2, ::2, ::2] = True  # 16*64*64 = 65536 isolated voxels
+    bounds = _tiny_grid(mask.shape)
+    labels, n, fg, _ = capacity._label_chunked(jnp.asarray(mask), mask.shape,
+                                               bounds)
+    assert n == 65536
+    assert labels.dtype == np.int32
+    assert fg == int(mask.sum())
+    ref, ref_n = ndimage.label(mask, structure=np.ones((3, 3, 3)))
+    assert ref_n == n
+    np.testing.assert_array_equal(labels.astype(np.int64), ref)
+
+
 def test_chunked_fill_holes_matches_scipy():
     from scipy import ndimage
 
