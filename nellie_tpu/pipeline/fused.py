@@ -296,15 +296,16 @@ class FusedSegmentation:
         intensity_thresh = jnp.float32(0.0)
         if lb.otsu_thresh_intensity:
             orig_flat = raw_dev.reshape(-1).astype(jnp.float32)
-            it, it_ok = _intensity_otsu_kernel(orig_flat[::step], lb.histogram_nbins, 1)
+            it, it_ok = _intensity_otsu_kernel(orig_flat, lb.histogram_nbins, step)
             intensity_thresh = jnp.where(it_ok, it, jnp.float32(0.0))
         elif lb.threshold is not None:
             orig_flat = raw_dev.reshape(-1).astype(jnp.float32)
             intensity_thresh = jnp.float32(lb.threshold)
 
-        gate = None if orig_flat is None else orig_flat[::step]
+        # full flats + static step: the stride becomes a fused iota mask
+        # inside the kernels — no eager strided gather (a TPU relayout)
         thr, ok = _frangi_threshold_kernel(
-            frangi_flat[::step], gate, intensity_thresh, lb.histogram_nbins, 1)
+            frangi_flat, orig_flat, intensity_thresh, lb.histogram_nbins, step)
         frangi_thresh = jnp.where(ok, thr, jnp.float32(jnp.inf))
 
         return _label_frame_kernel(

@@ -36,16 +36,28 @@ _UNSET = object()
 # Jitted per-frame kernels
 # --------------------------------------------------------------------------
 
+def _stride_valid(flat, step):
+    """step > 1: select every step-th element by iota mask instead of a
+    strided gather (a relayout on TPU) — same sample set, and the mask
+    fuses into the histogram pass (kernels/thresholds.py)."""
+    if step <= 1:
+        return flat > 0
+    pos = jax.lax.iota(jnp.int32, flat.shape[0]) % step == 0
+    return pos & (flat > 0)
+
+
 @partial(jax.jit, static_argnames=("nbins", "step"))
 def _frangi_threshold_kernel(frangi_flat, gate_flat, gate_thresh, nbins, step):
     """log10-domain min(triangle, otsu) over sampled positive values,
     optionally gated by ``gate_flat > gate_thresh``
-    (reference ``labelling.py:440-455``).  Returns (threshold, any_valid)."""
-    sample = frangi_flat[::step]
-    valid = sample > 0
+    (reference ``labelling.py:440-455``).  Returns (threshold, any_valid).
+
+    ``step``: stride of the sample within ``frangi_flat`` (1 when the
+    caller pre-sampled on host), applied as a fused validity mask."""
+    valid = _stride_valid(frangi_flat, step)
     if gate_flat is not None:
-        valid = valid & (gate_flat[::step] > gate_thresh)
-    logv = jnp.log10(jnp.where(sample > 0, sample, 1.0))
+        valid = valid & (gate_flat > gate_thresh)
+    logv = jnp.log10(jnp.where(frangi_flat > 0, frangi_flat, 1.0))
     tri = thr_k.triangle_threshold(logv, valid, nbins)
     ots, _ = thr_k.otsu_threshold(logv, valid, nbins)
     threshold = jnp.minimum(10.0 ** tri, 10.0 ** ots)
@@ -54,9 +66,8 @@ def _frangi_threshold_kernel(frangi_flat, gate_flat, gate_thresh, nbins, step):
 
 @partial(jax.jit, static_argnames=("nbins", "step"))
 def _intensity_otsu_kernel(frame_flat, nbins, step):
-    sample = frame_flat[::step]
-    valid = sample > 0
-    ots, _ = thr_k.otsu_threshold(sample.astype(jnp.float32), valid, nbins)
+    valid = _stride_valid(frame_flat, step)
+    ots, _ = thr_k.otsu_threshold(frame_flat.astype(jnp.float32), valid, nbins)
     return ots, jnp.any(valid)
 
 
