@@ -157,6 +157,46 @@ def test_thresholds_with_mask_equals_filtering(rng):
     assert abs(ours - ref) <= bin_width + 1e-4
 
 
+def test_bincount_matmul_exact_vs_numpy(rng):
+    """The radix-16 MXU bincount must equal np.bincount exactly (0/1
+    bf16 one-hots, f32 accumulation), incl. the overflow-bin drop and
+    non-multiple-of-16 nbins."""
+    import jax
+
+    for n, nbins in ((1_000_000, 256), (16384, 256), (100, 256),
+                     (524288, 200), (7, 16), (3, 1)):
+        idx = rng.integers(0, nbins + 1, n).astype(np.int32)  # incl. overflow
+        ours = np.asarray(jax.jit(
+            thresholds._bincount_tiled, static_argnums=1)(jnp.asarray(idx), nbins))
+        ref = np.bincount(idx[idx < nbins], minlength=nbins).astype(np.float32)
+        assert ours.shape == (nbins,)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_stride_mask_selects_downsample_positions(rng):
+    """stride_mask must pick exactly the positions downsample() gathers,
+    so mask-sampled histograms see the identical sample set."""
+    for shape, strides in (((64, 256, 256), (2, 2, 2)), ((33, 17), (3, 1)),
+                           ((10,), (4,)), ((8, 8, 8), (1, 1, 1))):
+        m = np.asarray(thresholds.stride_mask(shape, strides))
+        expect = np.zeros(shape, bool)
+        expect[tuple(slice(None, None, s) for s in strides)] = True
+        np.testing.assert_array_equal(m, expect)
+
+
+def test_masked_histogram_stride_mask_equals_gather(rng):
+    """min(triangle, otsu) over (full volume, stride mask) must equal the
+    gathered-sample call bit-for-bit."""
+    vol = rng.normal(4, 3, (24, 40, 56)).astype(np.float32)
+    strides = (2, 2, 2)
+    gathered = vol[tuple(slice(None, None, s) for s in strides)]
+    ref = float(thresholds.min_triangle_otsu(
+        jnp.asarray(gathered), jnp.asarray(gathered > 0)))
+    m = thresholds.stride_mask(vol.shape, strides) & (jnp.asarray(vol) > 0)
+    ours = float(thresholds.min_triangle_otsu(jnp.asarray(vol), m))
+    assert ours == ref
+
+
 def test_rank_filters_match_scipy(rng):
     x = rng.random((15, 16)).astype(np.float32)
     np.testing.assert_array_equal(
