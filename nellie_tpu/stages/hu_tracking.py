@@ -316,11 +316,13 @@ class HuMomentTracking:
             too_big = n_post * n_pre > self.max_dense_pairs
             tile_rows = 2048 if (too_big or self.low_memory) else 8192
         # single-tile fast path over the device-resident features: the
-        # padded feats never cross the link, 2 pulls per pair.  Mesh
-        # frame-parallelism pins frames to different devices, so it
-        # takes the host path (tiled == dense semantics either way).
-        if (self.mesh is None
-                and frame_t.feats_dev is not None
+        # padded feats never cross the link, 2 pulls per pair.  The mesh
+        # loop colocates each pair's features on one device first
+        # (_run_hu_tracking_mesh), so mesh and sequential run the SAME
+        # matcher kernel — the host tiled path has equal semantics but
+        # not bit-equal f32 reduction order, which shifted z-scored
+        # costs by up to ~0.03 (mesh-parity regression, round 4).
+        if (frame_t.feats_dev is not None
                 and frame_prev.feats_dev is not None
                 and n_post <= tile_rows and n_pre <= tile_rows):
             return matching.match_frames_device(
@@ -384,8 +386,22 @@ class HuMomentTracking:
         pair_rows = [None] * (self.num_t - 1)
 
         def match_one(t):
-            with _jax.default_device(devs[t % len(devs)]):
-                pair_rows[t - 1] = self._pair_rows(t, feats[t], feats[t - 1])
+            from dataclasses import replace
+
+            dev = devs[t % len(devs)]
+            prev = feats[t - 1]
+            if prev is not None and prev.feats_dev is not None:
+                # the pair's frames were built on different devices —
+                # colocate prev's device features on this pair's device
+                # (ICI copy) so the single-tile device matcher runs,
+                # bit-identical to the sequential loop
+                prev = replace(
+                    prev,
+                    feats_dev=_jax.device_put(prev.feats_dev, dev),
+                    coords_phys_dev=_jax.device_put(prev.coords_phys_dev, dev),
+                    valid_dev=_jax.device_put(prev.valid_dev, dev))
+            with _jax.default_device(dev):
+                pair_rows[t - 1] = self._pair_rows(t, feats[t], prev)
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(match_one, range(1, self.num_t)))

@@ -333,29 +333,30 @@ class VoxelReassigner:
     # -- fused device-resident pair pipeline --------------------------------------
     @staticmethod
     @partial(jax.jit, static_argnames=("use_pallas",))
-    def _pair_kernel(cp, cp_scaled, cp_valid, cn, cn_scaled, cn_valid,
-                     origin_scaled, origin_post_scaled, vec, cost, fvalid,
-                     prev_branch, prev_obj, next_has_branch, next_has_obj,
-                     scaling, interp_max_d, match_max_d, use_pallas: bool):
-        """One (t, t+1) pair: interpolation → NN → candidate filters →
-        best-pair selection → both label votes, all device-resident.
+    def _pair_match_kernel(cp, cp_scaled, cp_valid, cn, cn_scaled, cn_valid,
+                           origin_scaled, origin_post_scaled, vec, cost, fvalid,
+                           scaling, interp_max_d, match_max_d, use_pallas: bool):
+        """Label-independent half of the (t, t+1) pair program:
+        interpolation → NN → candidate filters → best-pair selection.
+        Pairs are independent here (no reassigned-label input), so the
+        mesh path windows this kernel across devices; only the label
+        votes (:func:`_pair_vote_kernel`) are t-sequential — splitting at
+        this boundary makes mesh and single-device runs bit-identical
+        (they execute the same two programs).
 
         cp/cn: (NP, d)/(NN, d) f32 voxel coords (padded 0), *_scaled the
         physically-scaled copies, *_valid row masks. origin_scaled /
         origin_post_scaled: (M, d) flow anchors for the fwd/bwd
         interpolators; vec (M, d) voxel-unit flow; cost (M,).
-        prev_branch/prev_obj: (NP,) int32 reassigned labels at frame t.
-        next_has_*: (NN,) bool (labels present at t+1).
 
-        Returns (best_src (NN,), best_ok (NN,), voted_branch (NN,),
-        voted_obj (NN,)) — everything indexed by the t+1 coordinate table.
+        Returns (src, tgt, dist, keep, best_src, best_ok) — the candidate
+        table plus per-t+1-voxel best pairs.
         """
         from nellie_tpu.kernels.pallas_nn import (
             nn_argmin_pallas,
             nn_argmin_xla,
             _FAR,
         )
-        from nellie_tpu.kernels.voting import _vote_kernel
 
         npq = cp.shape[0]
         nnq = cn.shape[0]
@@ -419,8 +420,21 @@ class VoxelReassigner:
             jnp.where(first, tgt_s, nnq)].set(src_s, mode="drop")
         best_ok = jnp.zeros((nnq,), bool).at[
             jnp.where(first, tgt_s, nnq)].set(first, mode="drop")
+        return src, tgt, dist, keep, best_src, best_ok
 
-        # weighted votes, one per label stream (reference vr:907-992)
+    @staticmethod
+    @jax.jit
+    def _pair_vote_kernel(src, tgt, dist, keep, prev_branch, prev_obj,
+                          next_has_branch, next_has_obj):
+        """Sequential half of the pair program: weighted label votes given
+        frame t's reassigned labels (reference vr:907-992).
+
+        prev_branch/prev_obj: (NP,) int32 reassigned labels at frame t.
+        next_has_*: (NN,) bool (labels present at t+1).  Returns
+        (voted_branch (NN,), voted_obj (NN,))."""
+        from nellie_tpu.kernels.voting import _vote_kernel
+
+        nnq = next_has_branch.shape[0]
         weights = (1.0 / (dist + 1e-6)).astype(jnp.float32)
 
         def vote(prev_labels, next_has):
@@ -434,7 +448,7 @@ class VoxelReassigner:
 
         voted_branch = vote(prev_branch, next_has_branch)
         voted_obj = vote(prev_obj, next_has_obj)
-        return best_src, best_ok, voted_branch, voted_obj
+        return voted_branch, voted_obj
 
     def _flow_rows_padded(self, t, d):
         """Padded flow-row device inputs for pair (t, t+1): (origin_scaled,
@@ -480,87 +494,150 @@ class VoxelReassigner:
             jnp.asarray(scaling, jnp.float32))
         return (coords, cp, cs, valid)
 
-    def _run_reassignment_fused(self):
-        """Sequential pair chain with the device-resident pair kernel.
+    def _run_reassignment_fused(self, mesh_devs=None):
+        """Sequential pair chain with the device-resident pair kernels.
         The reassigned label state at frame t's coordinates stays in HBM
-        between pairs; memmaps receive the same writes as the host path."""
+        between pairs; memmaps receive the same writes as the host path.
+
+        With ``mesh_devs`` the label-independent match kernels run a
+        device-count-wide window ahead on round-robined devices; the
+        voting chain consumes in order on one device.  Both modes execute
+        the SAME two programs, so mesh output is bit-identical to the
+        single-device chain (mesh-parity regression, round 4)."""
+        import contextlib
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax as _jax
 
         use_pallas = _jax.devices()[0].platform == "tpu"
         d = 2 if self.im_info.no_z else 3
-        scaling = jnp.asarray(self.flow_interpolator_fw.scaling, jnp.float32)
+        scaling_np = np.asarray(self.flow_interpolator_fw.scaling, np.float32)
         interp_d = jnp.float32(self.flow_interpolator_fw.max_distance_um)
         match_d = jnp.float32(self.flow_interpolator_fw.max_distance_um)
-
         match_dtype = np.uint16 if max(self.spatial_shape) < 2**16 else np.uint32
-        table = self._frame_table(0)
+        n_pairs = self.num_t - 1
+
+        devs = (list(mesh_devs)
+                if mesh_devs is not None and len(mesh_devs) > 1 else None)
+        chain_dev = devs[0] if devs else None
+
+        def match(t):
+            """Tables + match outputs for pair (t, t+1); frames are
+            read-only here, safe to compute pairs concurrently."""
+            ctx = (_jax.default_device(devs[t % len(devs)]) if devs
+                   else contextlib.nullcontext())
+            with ctx:
+                table = self._frame_table(t)
+                next_table = self._frame_table(t + 1)
+                if table is None or next_table is None:
+                    return "novox"
+                flow = self._flow_rows_padded(t, d)
+                if flow is None:
+                    return "noflow"
+                coords_p, cp, cp_s, cp_valid = table
+                coords_n, cn, cn_s, cn_valid = next_table
+                m = self._pair_match_kernel(
+                    cp, cp_s, cp_valid, cn, cn_s, cn_valid, *flow,
+                    jnp.asarray(scaling_np), interp_d, match_d,
+                    use_pallas=use_pallas)
+                return coords_p, coords_n, int(cp.shape[0]), int(cn.shape[0]), m
+
+        executor = None
+        futures = {}
+        if devs and n_pairs > 1:
+            window = len(devs)
+            executor = ThreadPoolExecutor(
+                max_workers=min(len(devs), n_pairs),
+                thread_name_prefix="nellie-reassign-pair")
+
+            def result(t):
+                for ahead in range(t, min(t + window, n_pairs)):
+                    if ahead not in futures:
+                        futures[ahead] = executor.submit(match, ahead)
+                return futures.pop(t).result()
+        else:
+            result = match
+
+        chain_ctx = (lambda: _jax.default_device(chain_dev)) if devs \
+            else contextlib.nullcontext
         prev_branch_dev = prev_obj_dev = None
-        for t in range(self.num_t - 1):
-            if self.viewer is not None:
-                self.viewer.status = f"Reassigning voxels. Frame: {t + 1} of {self.num_t}."
-            logger.info(f"Reassigning pixels between frames {t} and {t + 1}")
-            next_table = self._frame_table(t + 1)
-            if table is None or next_table is None:
-                logger.info(f"No voxels to match between frames {t} and {t + 1}; stopping.")
-                break
-            flow = self._flow_rows_padded(t, d)
-            if flow is None:
-                logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
-                break
-            coords_p, cp, cp_s, cp_valid = table
-            coords_n, cn, cn_s, cn_valid = next_table
+        try:
+            for t in range(n_pairs):
+                if self.viewer is not None:
+                    self.viewer.status = f"Reassigning voxels. Frame: {t + 1} of {self.num_t}."
+                logger.info(f"Reassigning pixels between frames {t} and {t + 1}")
+                res = result(t)
+                if res == "novox":
+                    logger.info(f"No voxels to match between frames {t} and {t + 1}; stopping.")
+                    break
+                if res == "noflow":
+                    logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
+                    break
+                coords_p, coords_n, npq, nnq, m = res
+                src_c, tgt_c, dist_c, keep_c, best_src, best_ok = m
+                if devs:
+                    # colocate the pair's match outputs on the chain device
+                    src_c, tgt_c, dist_c, keep_c, best_src, best_ok = (
+                        _jax.device_put(a, chain_dev)
+                        for a in (src_c, tgt_c, dist_c, keep_c,
+                                  best_src, best_ok))
 
-            if prev_branch_dev is None:
-                pb = np.zeros((cp.shape[0],), np.int32)
-                pb[: len(coords_p)] = self.reassigned_branch_memmap[t][
-                    tuple(coords_p.T)]
-                po = np.zeros((cp.shape[0],), np.int32)
-                po[: len(coords_p)] = self.reassigned_obj_memmap[t][
-                    tuple(coords_p.T)]
-                prev_branch_dev = jnp.asarray(pb)
-                prev_obj_dev = jnp.asarray(po)
+                if prev_branch_dev is None:
+                    pb = np.zeros((npq,), np.int32)
+                    pb[: len(coords_p)] = self.reassigned_branch_memmap[t][
+                        tuple(coords_p.T)]
+                    po = np.zeros((npq,), np.int32)
+                    po[: len(coords_p)] = self.reassigned_obj_memmap[t][
+                        tuple(coords_p.T)]
+                    with chain_ctx():
+                        prev_branch_dev = jnp.asarray(pb)
+                        prev_obj_dev = jnp.asarray(po)
 
-            nh_b = np.zeros((cn.shape[0],), bool)
-            nh_b[: len(coords_n)] = self.branch_label_memmap[t + 1][
-                tuple(coords_n.T)] > 0
-            nh_o = np.zeros((cn.shape[0],), bool)
-            nh_o[: len(coords_n)] = self.obj_label_memmap[t + 1][
-                tuple(coords_n.T)] > 0
+                nh_b = np.zeros((nnq,), bool)
+                nh_b[: len(coords_n)] = self.branch_label_memmap[t + 1][
+                    tuple(coords_n.T)] > 0
+                nh_o = np.zeros((nnq,), bool)
+                nh_o[: len(coords_n)] = self.obj_label_memmap[t + 1][
+                    tuple(coords_n.T)] > 0
 
-            best_src, best_ok, voted_branch, voted_obj = self._pair_kernel(
-                cp, cp_s, cp_valid, cn, cn_s, cn_valid,
-                *flow, prev_branch_dev, prev_obj_dev,
-                jnp.asarray(nh_b), jnp.asarray(nh_o),
-                scaling, interp_d, match_d, use_pallas=use_pallas)
+                with chain_ctx():
+                    voted_branch, voted_obj = self._pair_vote_kernel(
+                        src_c, tgt_c, dist_c, keep_c,
+                        prev_branch_dev, prev_obj_dev,
+                        jnp.asarray(nh_b), jnp.asarray(nh_o))
 
-            # vote vectors + best-pair indices: ONE trimmed pull
-            packed = np.asarray(transfer.trim_last(
-                _pack_pair_outputs(best_src, best_ok, voted_branch,
-                                   voted_obj), len(coords_n)))
-            vb = packed[0][: len(coords_n)]
-            vo = packed[1][: len(coords_n)]
-            ok = packed[2][: len(coords_n)].astype(bool)
-            src = packed[3][: len(coords_n)]
+                    # vote vectors + best-pair indices: ONE trimmed pull
+                    packed = np.asarray(transfer.trim_last(
+                        _pack_pair_outputs(best_src, best_ok, voted_branch,
+                                           voted_obj), len(coords_n)))
+                vb = packed[0][: len(coords_n)]
+                vo = packed[1][: len(coords_n)]
+                ok = packed[2][: len(coords_n)].astype(bool)
+                src = packed[3][: len(coords_n)]
 
-            if not ok.any():
-                logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
-                break
+                if not ok.any():
+                    logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
+                    break
 
-            if self.store_running_matches:
-                self.running_matches.append([
-                    coords_p[src[ok]].astype(match_dtype),
-                    coords_n[ok].astype(match_dtype)])
+                if self.store_running_matches:
+                    self.running_matches.append([
+                        coords_p[src[ok]].astype(match_dtype),
+                        coords_n[ok].astype(match_dtype)])
 
-            wb = vb > 0
-            self.reassigned_branch_memmap[t + 1][tuple(coords_n[wb].T)] = vb[wb]
-            wo = vo > 0
-            self.reassigned_obj_memmap[t + 1][tuple(coords_n[wo].T)] = vo[wo]
-            self.reassigned_branch_memmap.flush()
-            self.reassigned_obj_memmap.flush()
+                wb = vb > 0
+                self.reassigned_branch_memmap[t + 1][tuple(coords_n[wb].T)] = vb[wb]
+                wo = vo > 0
+                self.reassigned_obj_memmap[t + 1][tuple(coords_n[wo].T)] = vo[wo]
+                self.reassigned_branch_memmap.flush()
+                self.reassigned_obj_memmap.flush()
 
-            table = next_table
-            prev_branch_dev = voted_branch
-            prev_obj_dev = voted_obj
+                prev_branch_dev = voted_branch
+                prev_obj_dev = voted_obj
+        finally:
+            for f in futures.values():
+                f.cancel()
+            if executor is not None:
+                executor.shutdown(wait=True)
 
     # -- memory / driver -----------------------------------------------------------
     def _get_t(self):
@@ -611,21 +688,22 @@ class VoxelReassigner:
         n_pairs = self.num_t - 1
 
         # default: the fused device-resident pair pipeline (docstring at
-        # the top of this module).  The step-by-step path remains for the
-        # ladder's low-memory rungs and multi-device mesh runs (where the
-        # candidate window round-robins devices).
-        if not self.low_memory and (
-                self.mesh is None or self.mesh.devices.size == 1):
-            self._run_reassignment_fused()
+        # the top of this module).  Under a multi-device mesh the fused
+        # chain windows its match kernels across devices — same programs,
+        # bit-identical output.  The step-by-step host path remains for
+        # the ladder's low-memory rungs only.
+        if not self.low_memory:
+            mesh_devs = (list(self.mesh.devices.flatten())
+                         if self.mesh is not None
+                         and self.mesh.devices.size > 1 else None)
+            self._run_reassignment_fused(mesh_devs)
             if self.store_running_matches and self.voxel_matches_path is not None:
                 np.save(self.voxel_matches_path,
                         np.array(self.running_matches, dtype=object))
             return
 
-        # mesh frame-parallelism: the heavy phase (flow interpolation +
-        # MXU NN matching over all foreground voxels) is independent per
-        # (t, t+1) pair — compute a device-count-wide window of pairs
-        # ahead on round-robined mesh devices; voting consumes in order
+        # low-memory rung: step-by-step host voting, one pair at a time
+        # (with a single prefetch worker when there is >1 pair)
         mesh_devs = (list(self.mesh.devices.flatten())
                      if self.mesh is not None else None)
         executor = None
