@@ -342,9 +342,18 @@ class FusedSegmentation:
         return markers_frame_distance(raw_dev, mask, mk._params)
 
     # -- frame loop ------------------------------------------------------
-    def _dispatch_frame(self, t, placement):
+    def _upload_frame(self, t, placement):
+        """Frame t's raw memmap read + device upload (prefetchable: the
+        loop runs this for frame t+1 on a worker thread while frame t's
+        programs dispatch — SURVEY §5.8(v)'s double-buffered device_put;
+        the reference's analog is the synchronous per-frame memmap read,
+        ``/root/reference/nellie/run.py:56-115``)."""
         raw_host = np.ascontiguousarray(self.filter.im_memmap[t])
-        raw_dev = jax.device_put(raw_host, placement)
+        return jax.device_put(raw_host, placement)
+
+    def _dispatch_frame(self, t, placement, raw_dev=None):
+        if raw_dev is None:
+            raw_dev = self._upload_frame(t, placement)
         times = {}
 
         def staged(name, fn, *args):
@@ -498,12 +507,26 @@ class FusedSegmentation:
         writer = threading.Thread(target=_drain, name="nellie-fused-writer",
                                   daemon=True)
         writer.start()
+        # double-buffered upload: frame t+1's memmap read + device_put
+        # runs on this worker while frame t's programs dispatch, so the
+        # 8.4 MB/frame raw upload rides the link behind compute instead
+        # of serialising ahead of it
+        from concurrent.futures import ThreadPoolExecutor
+
+        uploader = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="nellie-fused-upload")
+        next_raw = None
         try:
             for t in range(self.num_t):
                 if self.viewer is not None:
                     self.viewer.status = f"Segmenting (fused). Frame: {t + 1} of {self.num_t}."
                 logger.info("Fused segmentation: frame %d/%d", t + 1, self.num_t)
-                pulls, times = self._dispatch_frame(t, placement)
+                raw_dev = (next_raw.result() if next_raw is not None
+                           else self._upload_frame(t, placement))
+                if t + 1 < self.num_t:
+                    next_raw = uploader.submit(
+                        self._upload_frame, t + 1, placement)
+                pulls, times = self._dispatch_frame(t, placement, raw_dev)
                 for k, v in times.items():
                     stage_totals[k] = stage_totals.get(k, 0.0) + v
                 if writer_exc:
@@ -512,6 +535,7 @@ class FusedSegmentation:
         finally:
             q.put(None)
             writer.join()
+            uploader.shutdown(wait=True)
         if writer_exc:
             raise writer_exc[0]
         self.stage_times = stage_totals

@@ -36,6 +36,7 @@ No-op for single-timepoint data.
 """
 from __future__ import annotations
 
+import threading
 from functools import partial
 
 import numpy as np
@@ -503,8 +504,23 @@ class VoxelReassigner:
         device-count-wide window ahead on round-robined devices; the
         voting chain consumes in order on one device.  Both modes execute
         the SAME two programs, so mesh output is bit-identical to the
-        single-device chain (mesh-parity regression, round 4)."""
+        single-device chain (mesh-parity regression, round 4).
+
+        Single-device pipelining (round 5, VERDICT r4 #2): three things
+        used to serialise against the device chain each pair —
+        (a) frame t+1's argwhere + coord upload, (b) the packed vote/
+        best-pair PULL, and (c) the memmap writes + flushes.  Now (a)
+        runs one pair ahead on a prefetch worker with the shared frame
+        table CACHED between pairs (pair t's next-table is pair t+1's
+        prev-table — one argwhere/upload per frame instead of two), and
+        (b)+(c) drain in pair order on a writer thread, so the only
+        critical-path host work per pair is dispatching the two device
+        programs.  The writer preserves the host path's early-stop
+        semantics: a pair with zero valid matches discards every queued
+        later pair's writes (reference contract: the loop breaks,
+        ``voxel_reassignment.py:1031-1058``)."""
         import contextlib
+        import queue as _queue
         from concurrent.futures import ThreadPoolExecutor
 
         import jax as _jax
@@ -521,42 +537,113 @@ class VoxelReassigner:
                 if mesh_devs is not None and len(mesh_devs) > 1 else None)
         chain_dev = devs[0] if devs else None
 
-        def match(t):
+        def match(t, prev_table=None):
             """Tables + match outputs for pair (t, t+1); frames are
-            read-only here, safe to compute pairs concurrently."""
+            read-only here, safe to compute pairs concurrently.  The
+            t+1 label-presence masks are read here too (host memmap
+            work off the chain's critical path)."""
             ctx = (_jax.default_device(devs[t % len(devs)]) if devs
                    else contextlib.nullcontext())
             with ctx:
-                table = self._frame_table(t)
+                table = prev_table if prev_table is not None \
+                    else self._frame_table(t)
                 next_table = self._frame_table(t + 1)
                 if table is None or next_table is None:
-                    return "novox"
+                    return "novox", next_table
                 flow = self._flow_rows_padded(t, d)
                 if flow is None:
-                    return "noflow"
+                    return "noflow", next_table
                 coords_p, cp, cp_s, cp_valid = table
                 coords_n, cn, cn_s, cn_valid = next_table
                 m = self._pair_match_kernel(
                     cp, cp_s, cp_valid, cn, cn_s, cn_valid, *flow,
                     jnp.asarray(scaling_np), interp_d, match_d,
                     use_pallas=use_pallas)
-                return coords_p, coords_n, int(cp.shape[0]), int(cn.shape[0]), m
+                nnq = int(cn.shape[0])
+                nh_b = np.zeros((nnq,), bool)
+                nh_b[: len(coords_n)] = self.branch_label_memmap[t + 1][
+                    tuple(coords_n.T)] > 0
+                nh_o = np.zeros((nnq,), bool)
+                nh_o[: len(coords_n)] = self.obj_label_memmap[t + 1][
+                    tuple(coords_n.T)] > 0
+                return ((coords_p, coords_n, int(cp.shape[0]), nnq, m,
+                         nh_b, nh_o), next_table)
 
         executor = None
         futures = {}
-        if devs and n_pairs > 1:
-            window = len(devs)
+        if n_pairs > 1:
+            window = len(devs) if devs else 1
             executor = ThreadPoolExecutor(
-                max_workers=min(len(devs), n_pairs),
+                max_workers=(min(len(devs), n_pairs) if devs else 1),
                 thread_name_prefix="nellie-reassign-pair")
 
-            def result(t):
-                for ahead in range(t, min(t + window, n_pairs)):
-                    if ahead not in futures:
-                        futures[ahead] = executor.submit(match, ahead)
-                return futures.pop(t).result()
+            if devs:
+                # table caching is per-device state; the round-robin
+                # window computes both tables per pair as before
+                def result(t):
+                    for ahead in range(t, min(t + window, n_pairs)):
+                        if ahead not in futures:
+                            futures[ahead] = executor.submit(match, ahead)
+                    return futures.pop(t).result()[0]
+            else:
+                def result(t):
+                    if t not in futures:
+                        futures[t] = executor.submit(match, t, None)
+                    res, next_table = futures.pop(t).result()
+                    if t + 1 < n_pairs and next_table is not None:
+                        futures[t + 1] = executor.submit(
+                            match, t + 1, next_table)
+                    return res
         else:
-            result = match
+            def result(t):
+                return match(t)[0]
+
+        # writer: drains (t, coords_p, coords_n, packed_dev, dev_outs) in
+        # pair order — the device pull, running-matches append, memmap
+        # writes and flushes all run behind the next pair's dispatch
+        wq = _queue.Queue(maxsize=2)
+        writer_exc = []
+        stopped = []   # writer appends t when pair t had no valid matches
+
+        def _drain():
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                try:
+                    if writer_exc or stopped:
+                        continue
+                    t, coords_p, coords_n, packed_dev = item
+                    packed = np.asarray(packed_dev)
+                    vb = packed[0][: len(coords_n)]
+                    vo = packed[1][: len(coords_n)]
+                    ok = packed[2][: len(coords_n)].astype(bool)
+                    src = packed[3][: len(coords_n)]
+                    if not ok.any():
+                        logger.info(f"No valid matches between frames {t} "
+                                    f"and {t + 1}; stopping.")
+                        stopped.append(t)
+                        continue
+                    if self.store_running_matches:
+                        self.running_matches.append([
+                            coords_p[src[ok]].astype(match_dtype),
+                            coords_n[ok].astype(match_dtype)])
+                    wb = vb > 0
+                    self.reassigned_branch_memmap[t + 1][
+                        tuple(coords_n[wb].T)] = vb[wb]
+                    wo = vo > 0
+                    self.reassigned_obj_memmap[t + 1][
+                        tuple(coords_n[wo].T)] = vo[wo]
+                    self.reassigned_branch_memmap.flush()
+                    self.reassigned_obj_memmap.flush()
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    writer_exc.append(exc)
+                finally:
+                    wq.task_done()
+
+        writer = threading.Thread(target=_drain, name="nellie-reassign-writer",
+                                  daemon=True)
+        writer.start()
 
         chain_ctx = (lambda: _jax.default_device(chain_dev)) if devs \
             else contextlib.nullcontext
@@ -573,7 +660,9 @@ class VoxelReassigner:
                 if res == "noflow":
                     logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
                     break
-                coords_p, coords_n, npq, nnq, m = res
+                if stopped or writer_exc:
+                    break
+                coords_p, coords_n, npq, nnq, m, nh_b, nh_o = res
                 src_c, tgt_c, dist_c, keep_c, best_src, best_ok = m
                 if devs:
                     # colocate the pair's match outputs on the chain device
@@ -593,43 +682,17 @@ class VoxelReassigner:
                         prev_branch_dev = jnp.asarray(pb)
                         prev_obj_dev = jnp.asarray(po)
 
-                nh_b = np.zeros((nnq,), bool)
-                nh_b[: len(coords_n)] = self.branch_label_memmap[t + 1][
-                    tuple(coords_n.T)] > 0
-                nh_o = np.zeros((nnq,), bool)
-                nh_o[: len(coords_n)] = self.obj_label_memmap[t + 1][
-                    tuple(coords_n.T)] > 0
-
                 with chain_ctx():
                     voted_branch, voted_obj = self._pair_vote_kernel(
                         src_c, tgt_c, dist_c, keep_c,
                         prev_branch_dev, prev_obj_dev,
                         jnp.asarray(nh_b), jnp.asarray(nh_o))
-
-                    # vote vectors + best-pair indices: ONE trimmed pull
-                    packed = np.asarray(transfer.trim_last(
+                    # vote vectors + best-pair indices: ONE trimmed pull,
+                    # dispatched here, materialised on the writer thread
+                    packed_dev = transfer.trim_last(
                         _pack_pair_outputs(best_src, best_ok, voted_branch,
-                                           voted_obj), len(coords_n)))
-                vb = packed[0][: len(coords_n)]
-                vo = packed[1][: len(coords_n)]
-                ok = packed[2][: len(coords_n)].astype(bool)
-                src = packed[3][: len(coords_n)]
-
-                if not ok.any():
-                    logger.info(f"No valid matches between frames {t} and {t + 1}; stopping.")
-                    break
-
-                if self.store_running_matches:
-                    self.running_matches.append([
-                        coords_p[src[ok]].astype(match_dtype),
-                        coords_n[ok].astype(match_dtype)])
-
-                wb = vb > 0
-                self.reassigned_branch_memmap[t + 1][tuple(coords_n[wb].T)] = vb[wb]
-                wo = vo > 0
-                self.reassigned_obj_memmap[t + 1][tuple(coords_n[wo].T)] = vo[wo]
-                self.reassigned_branch_memmap.flush()
-                self.reassigned_obj_memmap.flush()
+                                           voted_obj), len(coords_n))
+                wq.put((t, coords_p, coords_n, packed_dev))
 
                 prev_branch_dev = voted_branch
                 prev_obj_dev = voted_obj
@@ -638,6 +701,10 @@ class VoxelReassigner:
                 f.cancel()
             if executor is not None:
                 executor.shutdown(wait=True)
+            wq.put(None)
+            writer.join()
+        if writer_exc:
+            raise writer_exc[0]
 
     # -- memory / driver -----------------------------------------------------------
     def _get_t(self):

@@ -76,54 +76,6 @@ def test_filter_label_stages_with_mesh(tmp_path):
 
 
 @pytest.mark.slow
-def test_full_pipeline_step_sharded_parity():
-    """All seven stages' dense step on the 8-device mesh (t=2 x z=4) must
-    match single-device execution structurally (labels/skel/markers)."""
-    from nellie_tpu.mesh.pipeline_step import default_step_params, full_pipeline_step
-
-    params = default_step_params(
-        spacing=(0.5, 0.2, 0.2), sigmas=(0.75, 0.95),
-        marker_cap=32, voxel_cap=256, label_cap=16)
-    rng = np.random.default_rng(0)
-    z, y, x = np.mgrid[0:16, 0:32, 0:32]
-    frames = []
-    for t in range(2):
-        tube = 800.0 * np.exp(
-            -(((z - 8) ** 2) * 0.3 + (y - 16 - t + 4 * np.sin(x / 6.0)) ** 2 / 2)
-            / (2 * 2.0 ** 2))
-        frames.append(np.clip(tube + rng.normal(100, 5, (16, 32, 32)), 0, None))
-    batch = np.stack(frames).astype(np.float32)
-
-    sharded = full_pipeline_step(batch, params, make_mesh(8, t_axis=2))
-    single = full_pipeline_step(batch, params, make_mesh(1, t_axis=1))
-
-    assert int(sharded["labels"].max()) >= 1
-    assert int((sharded["skel"] > 0).sum()) >= 1
-    np.testing.assert_array_equal(sharded["labels"], single["labels"])
-    np.testing.assert_array_equal(sharded["skel"], single["skel"])
-    np.testing.assert_array_equal(sharded["marker"], single["marker"])
-    assert sharded["flow_vec"].shape == single["flow_vec"].shape
-    # flow matches agree (costs are z-scored floats; compare match masks)
-    np.testing.assert_array_equal(sharded["flow_ok"], single["flow_ok"])
-    # voting reassignment agrees up to boundary ties: the d<max_distance
-    # radius gate sits on a continuous distance whose inputs (z-scored
-    # flow costs -> interp weights) reassociate under partitioning, so a
-    # voxel lying exactly on the radius can flip; everything else exact
-    mism = (sharded["reassigned_vox"] != single["reassigned_vox"]).mean()
-    assert mism <= 0.005, f"reassignment mismatch fraction {mism}"
-    assert int(sharded["reassigned_obj"][1:].max()) >= 1  # labels propagated
-    for key in ("vox_stats", "hier_organelle", "hier_branch"):
-        np.testing.assert_allclose(
-            np.nan_to_num(sharded[key]), np.nan_to_num(single[key]),
-            rtol=1e-5, atol=1e-5, err_msg=key)
-        np.testing.assert_array_equal(np.isnan(sharded[key]), np.isnan(single[key]),
-                                      err_msg=f"{key} NaN pattern")
-    # adaptive caps: the tiny configured voxel_cap=256 must have grown to
-    # cover the true fg count (no silent truncation in the results)
-    assert sharded["reassigned_vox"].shape[1] >= int(sharded["n_fg"].max())
-
-
-@pytest.mark.slow
 def test_mesh_t_batched_frames_match_sequential(tmp_path):
     """run(mesh=<t=4 x z=2>) feeds frame groups to the mesh 't' axis; the
     Filter/Label artifacts must match the sequential per-frame path."""
