@@ -240,6 +240,33 @@ def union_find_roots(mask: jnp.ndarray, connectivity: str = "full") -> jnp.ndarr
     return lbl.reshape(-1).astype(jnp.int32)
 
 
+def label_from_roots(roots_flat: jnp.ndarray, fg_flat: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """scipy-sequential labels from per-voxel roots, via two device sorts.
+
+    The obvious finisher (``rank = cumsum(is_root); labels = rank[roots]``)
+    is a full-volume random gather, which TPUs serialise — measured ~18 ms
+    net / 17.5 GB of HBM traffic at 4.2 Mvox, the single largest byte
+    source in the fused segment step.  Sorting by root instead groups each
+    component contiguously, the component id is a cumsum over run starts,
+    and a second sort by original index unsorts — sort + elementwise only,
+    measured at tunnel-RTT noise on v5e (sort of 4.2M key+payload ≈ the
+    cumsum+gather's *latency* with ~9x fewer bytes).
+
+    Because every component's root is its minimum linear index, ranking
+    sorted roots reproduces scipy's raster-order numbering exactly.
+    """
+    n = roots_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(fg_flat, roots_flat, n)
+    ks, inv = lax.sort((key, idx), num_keys=1)
+    isfg_s = ks < n  # bg (key == n) sorts to the tail
+    first = jnp.ones((n,), bool).at[1:].set(ks[1:] != ks[:-1]) & isfg_s
+    comp = jnp.where(isfg_s, jnp.cumsum(first.astype(jnp.int32)), 0)
+    _, labels = lax.sort((inv, comp), num_keys=1)
+    return labels, jnp.sum(first.astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("connectivity",))
 def label(mask: jnp.ndarray, connectivity: str = "full") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Connected components with scipy-identical sequential numbering.
@@ -248,15 +275,9 @@ def label(mask: jnp.ndarray, connectivity: str = "full") -> Tuple[jnp.ndarray, j
     ``scipy.ndimage.label(mask, structure=ones((3,)*ndim))`` for
     connectivity='full' and the default cross structure for 'faces'.
     """
-    n = int(np.prod(mask.shape))
     roots = union_find_roots(mask, connectivity)
-    fg = mask.reshape(-1)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_root = fg & (roots == idx)
-    # label id of a root = its 1-based rank in raster order
-    rank = jnp.cumsum(is_root.astype(jnp.int32))
-    labels = jnp.where(fg, rank[roots], 0)
-    return labels.reshape(mask.shape), rank[-1]
+    labels, num = label_from_roots(roots, mask.reshape(-1))
+    return labels.reshape(mask.shape), num
 
 
 def _segmented_or_scan(reached: jnp.ndarray, maskv: jnp.ndarray, axis: int,
@@ -341,6 +362,51 @@ def component_sizes(labels_or_roots_flat: jnp.ndarray, fg_flat: jnp.ndarray) -> 
 _SMALL_HOPS_MAX = 96
 
 
+def _class_keep_sorted(vals_flat: jnp.ndarray, boundary_flat: jnp.ndarray,
+                       fg_flat: jnp.ndarray, min_size: int) -> jnp.ndarray:
+    """``keep = fg & (class size >= min_size  OR  class has a boundary
+    member)`` — computed by sorting voxels by class value so each class
+    is a contiguous run, then sizing/flagging runs with 1-D segmented
+    scans, then unsorting.  Replaces a scatter-add + random gather pair
+    (TPUs serialise both — measured ~65 ms each at 4.2 Mvox) and the
+    earlier (2*hops+1)^ndim-tap stencil form (8.8 GB of HBM traffic at
+    125 taps) with two sorts + four 1-D scans (~0.15 GB)."""
+    n = vals_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(fg_flat, vals_flat.astype(jnp.uint32), jnp.uint32(n))
+    ks, bs, inv = lax.sort((key, boundary_flat, idx), num_keys=1)
+    isfg_s = ks < jnp.uint32(n)
+    first = jnp.ones((n,), bool).at[1:].set(ks[1:] != ks[:-1])
+    last = jnp.ones((n,), bool).at[:-1].set(ks[1:] != ks[:-1])
+
+    def seg_copy(reset, vals, reverse):
+        # propagate the value at each run's reset position across the run
+        def combine(a, b):
+            ar, av = a
+            br, bv = b
+            return ar | br, jnp.where(br, bv, av)
+
+        return lax.associative_scan(combine, (reset, vals), reverse=reverse)[1]
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = seg_copy(first, pos, False)
+    end = seg_copy(last, pos, True)
+    size = end - start + 1
+
+    def seg_or(reset, vals, reverse):
+        def combine(a, b):
+            ar, av = a
+            br, bv = b
+            return ar | br, jnp.where(br, bv, av | bv)
+
+        return lax.associative_scan(combine, (reset, vals), reverse=reverse)[1]
+
+    has_b = seg_or(first, bs, False) | seg_or(last, bs, True)
+    keep_s = isfg_s & ((size >= min_size) | has_b)
+    _, keep = lax.sort((inv, keep_s), num_keys=1)
+    return keep
+
+
 @partial(jax.jit, static_argnames=("min_size", "connectivity"))
 def remove_small_components(
     mask: jnp.ndarray, min_size: int, connectivity: str = "full"
@@ -351,29 +417,29 @@ def remove_small_components(
     Exact bounded-hop fast path (full connectivity): a component with
     ``size < min_size`` has geodesic diameter <= ``min_size - 2``, so
     ``min_size - 2`` synchronous 26/8-neighbour min hops converge every
-    small component to a single value class whose scatter-add count is
-    its exact size.  Classes of *large* components may be unconverged
+    small component to a single value class whose member count is its
+    exact size.  Classes of *large* components may be unconverged
     fragments — but a fragment is a strict subset of a connected
     component, so some member has a foreground neighbour with a
     different value: a box-min != box-max test over the 3^ndim
     neighbourhood (any fg voxel in the box is 26/8-adjacent, i.e.
     same-component) flags exactly the unconverged classes, which are
     kept unconditionally.  Complete components (no differing neighbour
-    anywhere) are filtered by their exact size.  This replaces the
-    global min-index fixpoint (~6 rounds of scans+hops) with
-    ``min_size - 2`` hops + one separable box min/max + two scatters.
+    anywhere) are filtered by their exact size.  The count + verdict
+    lookup run sorted (``_class_keep_sorted``); the whole filter is
+    ``min_size - 2`` hops + one separable box min/max + two sorts.
     """
     if min_size <= 1:
         return mask
     hops = max(min_size - 2, 0)
+    shape = mask.shape
     if connectivity != "full" or hops > _SMALL_HOPS_MAX:
         roots = union_find_roots(mask, connectivity)
         fg = mask.reshape(-1)
-        sizes = component_sizes(roots, fg)
-        keep = fg & (sizes[roots] >= min_size)
-        return keep.reshape(mask.shape)
+        keep = fg & _class_keep_sorted(
+            roots, jnp.zeros_like(fg), fg, min_size)
+        return keep.reshape(shape)
 
-    shape = mask.shape
     n = int(np.prod(shape))
     fg = mask
     sentinel = jnp.uint32(n)
@@ -405,80 +471,6 @@ def remove_small_components(
                                          shift_fill(mx, axis, -1, jnp.uint32(0))))
     boundary = fg & (mn != mx)
 
-    # Class sums decide keep: ordinary members weigh 1, boundary members
-    # weigh min_size, so sum >= min_size <=> (exact size >= min_size) OR
-    # (class is an unconverged fragment) — both tests in one reduction.
-    #
-    # The reduction itself: every voxel's value is the index of a voxel
-    # within Chebyshev distance ``hops`` (each hop is one Chebyshev
-    # step), so the class-sum scatter and the per-voxel gather are
-    # spatially LOCAL and can run as (2*hops+1)^ndim-tap stencils over
-    # the relative field rel = val - idx — element ops only, which TPUs
-    # vectorise, instead of scatter/gather, which they serialise
-    # (measured ~65 ms each at 4.2M voxels).  Falls back to the scatter
-    # form when the tap count gets large.
-    # the stencil form identifies offsets by their LINEAR delta, which is
-    # only injective when every axis extent exceeds 2*hops — on narrower
-    # images two offsets share a delta (e.g. (1,-3) and (0,5) at W=8) and
-    # the root lookup could OR in a geometrically wrong verdict.  The
-    # (2*hops+1)^ndim-tap unroll also keeps every tap's full-volume
-    # temporary live at once, so above _UNROLL_HOPS_MAX_VOX the two
-    # scatters' serialisation is cheaper than the unroll's HBM blow-up
-    # (measured: 125 taps at 56 Mvox wants 17.5 GB)
-    if ((2 * hops + 1) ** mask.ndim <= 135
-            and all(s > 2 * hops for s in mask.shape)
-            and n <= _UNROLL_HOPS_MAX_VOX):
-        return _remove_small_local(mask, vals, boundary, min_size, hops)
-
-    flat = jnp.where(fg, vals, sentinel).reshape(-1)
-    w = jnp.where(boundary.reshape(-1), jnp.int32(min_size), jnp.int32(1))
-    sizes = jnp.zeros((n + 1,), jnp.int32).at[flat].add(w)
-    keep = fg.reshape(-1) & (sizes[flat] >= min_size)
+    keep = fg.reshape(-1) & _class_keep_sorted(
+        vals.reshape(-1), boundary.reshape(-1), fg.reshape(-1), min_size)
     return keep.reshape(shape)
-
-
-def _remove_small_local(mask, vals, boundary, min_size: int, hops: int):
-    """Stencil form of the weighted class-sum + root lookup (see caller).
-
-    ``S(w) = sum_d weight(w+d) * [val(w+d) == idx(w)]`` over offsets d
-    with |d|_cheb <= hops gives the exact weighted class sum at each
-    root position; ``keep(v) = OR_d (rel(v) == delta_d) & (S(v+d) >=
-    min_size)`` looks the verdict up at v's root.  Weights are packed
-    into the low bit of ``enc = 2*(val - idx) + is_boundary`` so each
-    tap shifts ONE array and compares against a constant."""
-    import itertools
-
-    shape = mask.shape
-    ndim = mask.ndim
-    fg = mask
-    strides = tuple(int(np.prod(shape[a + 1:])) for a in range(ndim))
-    BIG = jnp.int32(1 << 30)
-
-    idx = jnp.arange(int(np.prod(shape)), dtype=jnp.int32).reshape(shape)
-    rel = vals.astype(jnp.int32) - idx
-    enc = jnp.where(fg, 2 * rel + boundary.astype(jnp.int32), BIG)
-
-    offsets = list(itertools.product(range(-hops, hops + 1), repeat=ndim))
-
-    def shifted(arr, d, fill):
-        out = arr
-        for axis, o in enumerate(d):
-            if o:
-                out = shift_fill(out, axis, o, fill)
-        return out
-
-    S = jnp.zeros(shape, jnp.int32)
-    for d in offsets:
-        delta = sum(o * s for o, s in zip(d, strides))
-        t = shifted(enc, d, BIG) + jnp.int32(2 * delta)
-        # t == 0: ordinary member of this root's class (weight 1);
-        # t == 1: boundary member (weight min_size)
-        S = S + jnp.where(
-            (t == 0) | (t == 1), 1 + t * jnp.int32(min_size - 1), 0)
-
-    K = S >= min_size
-    keep = jnp.zeros(shape, bool)
-    for d in offsets:
-        delta = sum(o * s for o, s in zip(d, strides))
-        keep = keep | ((rel == delta) & shifted(K, d, False))
-    return fg & keep
