@@ -254,6 +254,100 @@ def _e2e_warm_timings(shape=(3, 64, 256, 256)):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _make_frame_2d(shape=(512, 512), seed=0):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0 : shape[0], 0 : shape[1]]
+    img = np.zeros(shape, np.float32)
+    for i in range(5):
+        cy = 50 + (shape[0] // 5) * i
+        img += 700.0 * np.exp(
+            -((y - cy + 10 * np.sin((x + 15 * i) / 19.0)) ** 2) / (2 * 2.0**2))
+    return np.clip(img + rng.normal(80, 5, shape), 0, None).astype(np.float32)
+
+
+def _e2e_2d_timings(shape=(4, 512, 512)):
+    """BASELINE config #2: 2D + timeseries pipeline (Frangi + labelling +
+    tracking per frame), cold + warm in one process; returns (warm total
+    seconds, frames)."""
+    import shutil
+    import tempfile
+
+    from nellie_tpu.io import ome as ome_mod
+    from nellie_tpu.io import tiff
+    from nellie_tpu.io.verifier import FileInfo
+    from nellie_tpu.pipeline.run import run
+
+    t_frames = shape[0]
+    frames = np.stack([
+        np.roll(_make_frame_2d(shape[1:], seed=0), shift=2 * t, axis=0)
+        for t in range(t_frames)
+    ])
+    data = np.clip(frames, 0, 65535).astype(np.uint16)
+    desc = ome_mod.build_ome_xml(
+        "TYX", data.shape, "uint16",
+        dim_res={"X": 0.1, "Y": 0.1, "Z": None, "T": 2.0})
+
+    root = tempfile.mkdtemp(prefix="nellie_bench_2d_")
+    try:
+        timings = {}
+        for sub in ("cold", "warm"):
+            d = os.path.join(root, sub)
+            os.makedirs(d)
+            path = os.path.join(d, "bench2d.ome.tif")
+            tiff.imwrite(path, data, description=desc)
+            fi = FileInfo(path)
+            fi.find_metadata()
+            fi.load_metadata()
+            _, timings = run(fi, return_timings=True)
+        return float(timings["total"]), t_frames
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _batch_files_timing(n_files=3, shape=(2, 32, 128, 128)):
+    """BASELINE config #5: batch multi-file organelle run (ER + mito
+    morphologies as separate files) through pipeline.batch.run_files,
+    with per-file feature CSV export.  Warm measurement: the shapes
+    match, so every program is compiled by the first file; the recorded
+    number is the wall for the REMAINING files (steady-state files/min).
+    On one chip run_files degrades to the sequential loop — the mesh
+    data-parallel path is covered by tests/test_mesh.py and the
+    multichip dryrun.  Returns (warm seconds, n_files - 1)."""
+    import shutil
+    import tempfile
+
+    from nellie_tpu.io import ome as ome_mod
+    from nellie_tpu.io import tiff
+    from nellie_tpu.io.verifier import FileInfo
+    from nellie_tpu.pipeline.batch import run_files
+
+    t_frames, *vol = shape
+    root = tempfile.mkdtemp(prefix="nellie_bench_batch_")
+    try:
+        file_infos = []
+        for i in range(n_files):
+            frames = np.stack([
+                np.roll(_make_frame(tuple(vol), seed=i), shift=3 * t + i, axis=1)
+                for t in range(t_frames)
+            ])
+            data = np.clip(frames, 0, 65535).astype(np.uint16)
+            desc = ome_mod.build_ome_xml(
+                "TZYX", data.shape, "uint16",
+                dim_res={"X": 0.2, "Y": 0.2, "Z": 0.5, "T": 2.0})
+            path = os.path.join(root, f"organelle_{i}.ome.tif")
+            tiff.imwrite(path, data, description=desc)
+            fi = FileInfo(path)
+            fi.find_metadata()
+            fi.load_metadata()
+            file_infos.append(fi)
+        run_files(file_infos[:1])  # compile pass
+        t0 = time.perf_counter()
+        run_files(file_infos[1:])
+        return time.perf_counter() - t0, n_files - 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -435,6 +529,28 @@ def main():
             print(f"[bench] per-stage vs CPU: {vs_stage}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — additive, never fatal
             print(f"[bench] CPU reference floor skipped: {exc!r}", file=sys.stderr)
+
+    # BASELINE config #2: 2D + timeseries pipeline (NELLIE_BENCH_2D=0 skips)
+    if os.environ.get("NELLIE_BENCH_2D", "1") != "0":
+        try:
+            total_s, t_frames = _e2e_2d_timings()
+            record["e2e_2d_s_per_frame"] = round(total_s / t_frames, 3)
+            print(f"[bench] 2D e2e warm: {record['e2e_2d_s_per_frame']}s/frame "
+                  f"({t_frames}x512x512)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — additive, never fatal
+            print(f"[bench] 2D e2e skipped: {exc!r}", file=sys.stderr)
+
+    # BASELINE config #5: batch multi-file run (NELLIE_BENCH_BATCH=0 skips)
+    if os.environ.get("NELLIE_BENCH_BATCH", "1") != "0":
+        try:
+            batch_s, n_warm = _batch_files_timing()
+            record["batch_files"] = n_warm
+            record["batch_files_per_min"] = round(n_warm / (batch_s / 60.0), 2)
+            print(f"[bench] batch: {n_warm} warm files in {batch_s:.1f}s = "
+                  f"{record['batch_files_per_min']} files/min "
+                  "(2x2.1 Mvox frames each)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — additive, never fatal
+            print(f"[bench] batch skipped: {exc!r}", file=sys.stderr)
 
     _emit(record)
 
