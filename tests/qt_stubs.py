@@ -313,6 +313,12 @@ class QLabel(QWidget):
     def text(self):
         return self._text
 
+    def setPixmap(self, pixmap):
+        self._pixmap = pixmap
+
+    def pixmap(self):
+        return getattr(self, "_pixmap", None)
+
     def setAlignment(self, *args):
         pass
 
@@ -821,6 +827,26 @@ def install():
 
     qtgui = types.ModuleType("qtpy.QtGui")
     qtgui.QAction = QAction
+
+    class QPixmap:
+        """File-backed pixmap stand-in: isNull() mirrors real Qt (null
+        when the path doesn't load), scaled() returns self."""
+
+        def __init__(self, path=None):
+            import os
+
+            self._ok = bool(path) and os.path.isfile(str(path))
+
+        def isNull(self):
+            return not self._ok
+
+        def scaled(self, *args, **kwargs):
+            return self
+
+        def scaledToHeight(self, *args, **kwargs):
+            return self
+
+    qtgui.QPixmap = QPixmap
 
     qtpy_mod.QtCore = qtcore
     qtpy_mod.QtWidgets = qtwidgets
