@@ -25,7 +25,7 @@ Layer map:
 ``nellie_tpu.plugin``    napari GUI (gated on napari availability)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from nellie_tpu.utils.base_logger import logger  # noqa: F401
 
