@@ -84,6 +84,16 @@ _BLOB_U16 = frozenset(("labels", "branch", "skel"))
 _BLOB_L_CAP_DIV = 32   # 3.1% fg capacity; measured group max 1.6%
 _BLOB_F_CAP_DIV = 16   # finalized vesselness support is denser
 
+# single-device frame-group batching: total voxels per one-dispatch group
+# (caps the vmapped chain's live intermediates — ~8 f32 full-volume
+# buffers in the Frangi cascade plus the CCL fixpoint state — well under
+# one chip's HBM; 16 Mvox ≈ 0.6 GB of f32 working set per buffer class)
+_BATCH_GROUP_VOX = int(16e6)
+# process-level compiled-program cache: a warm run() in the same process
+# (new FusedSegmentation instance, identical params — bench.py's
+# cold+warm e2e) reuses the compiled chain instead of recompiling
+_BATCH_PROG_CACHE: dict = {}
+
 
 def _u8(a):
     """Flat little-endian byte view of any array (blob concatenation)."""
@@ -201,6 +211,7 @@ class FusedSegmentation:
         mesh=None,
         viewer=None,
         cache_frames: bool = False,
+        batch_frames="auto",
         filter_kwargs=None,
         label_kwargs=None,
         network_kwargs=None,
@@ -210,6 +221,9 @@ class FusedSegmentation:
         self.device = device
         self.mesh = mesh
         self.viewer = viewer
+        # "auto" (accelerator backends only) | True | False — see
+        # _batch_group; NELLIE_FUSED_BATCH ∈ {0,1} overrides at run time
+        self.batch_frames = batch_frames
         # leave per-frame device arrays (raw/frangi/distance) alive in
         # HBM for downstream stages in the same process — bypasses the
         # ~50 MB/frame re-upload HuMomentTracking would otherwise pay
@@ -469,6 +483,161 @@ class FusedSegmentation:
             self._write_frame(t, pulls)
         return {"seg_batch": time.perf_counter() - t0}
 
+    # -- single-device frame-group batching --------------------------------
+    def _batch_group(self) -> int:
+        """Frames per single-dispatch group (1 = the per-frame loop).
+
+        The per-frame loop dispatches ~20 jitted programs per frame; on
+        the tunnelled backend each dispatch costs ~20 ms of host time and
+        every jit boundary materialises its intermediates to HBM.
+        Grouping G frames into ONE vmapped program amortises both.  G is
+        capped so the chain's live intermediates stay well inside HBM,
+        and the mode stays off on the CPU backend (dispatch is free
+        there and the per-frame loop is what the parity suite measures)
+        unless forced.  ``NELLIE_FUSED_BATCH`` ∈ {0,1} overrides."""
+        import os
+
+        if self.mesh is not None or self.num_t <= 1 or self._fence:
+            return 1
+        mode = self.batch_frames
+        env = os.environ.get("NELLIE_FUSED_BATCH")
+        if env is not None:
+            mode = {"0": False, "1": True}.get(env, mode)
+        if mode is False:
+            return 1
+        if mode == "auto" and jax.default_backend() == "cpu":
+            return 1
+        frame_vox = int(np.prod(self.filter.im_memmap.shape[1:]))
+        return max(1, min(self.num_t, _BATCH_GROUP_VOX // max(frame_vox, 1)))
+
+    def _batch_prog_key(self, group: int):
+        """Hashable fingerprint of everything the stage-1..4 chain reads
+        from the stage objects — the process-level program cache reuses a
+        compiled chain across FusedSegmentation instances (a warm
+        ``run()`` in the same process must not recompile), and any param
+        in this key changing forces a fresh compile."""
+        f, lb, nw, mk = self.filter, self.label, self.network, self.markers
+        frame_shape = tuple(self.filter.im_memmap.shape[1:])
+        frame_vox = int(np.prod(frame_shape))
+        return (group, frame_shape, str(self.filter.im_memmap.dtype),
+                bool(self.im_info.no_z),
+                f._params, f.remove_edges, f.max_threshold_samples,
+                lb.otsu_thresh_intensity, lb.threshold, lb.histogram_nbins,
+                lb.min_area_pixels, lb._sample_step(frame_vox),
+                tuple(nw.scaling), mk.use_im, mk._params)
+
+    def _run_batch_single(self, group: int, placement):
+        """G frames per ONE device program: the whole stage-1..4 chain
+        vmapped over a frame group and jitted as a single XLA program —
+        one dispatch and one blob pull per G frames instead of ~20
+        dispatches per frame, with XLA free to fuse across the former
+        jit boundaries.  Artifacts are identical to the per-frame loop
+        (same kernels, same order; ``tests/test_fused.py`` asserts
+        bit-parity), and the device frame cache is populated from the
+        group outputs so tracking/hierarchy keep their HBM handoff.
+
+        Reference analog: the per-stage memmap loop this entire module
+        replaces, ``/root/reference/nellie/run.py:56-115``."""
+        import queue as _queue
+        from concurrent.futures import ThreadPoolExecutor
+
+        key = self._batch_prog_key(group)
+        prog = _BATCH_PROG_CACHE.get(key)
+        if prog is None:
+
+            def chain(b):
+                frangi = jax.vmap(self._frame_filter)(b)
+                labels = jax.vmap(self._frame_label)(b, frangi)
+                skel, pixel_class, branch = jax.vmap(self._frame_network)(
+                    labels, frangi)
+                marker, distance, border = jax.vmap(self._frame_markers)(
+                    b, labels, frangi)
+                pulls = jax.vmap(_sparse_pull_bundle)(
+                    {"frangi": frangi, "labels": labels, "skel": skel,
+                     "pixel_class": pixel_class, "branch": branch,
+                     "distance": distance, "marker": marker,
+                     "border": border})
+                return pulls, frangi, distance, skel
+
+            prog = jax.jit(chain)
+            if len(_BATCH_PROG_CACHE) >= 4:
+                _BATCH_PROG_CACHE.clear()
+            _BATCH_PROG_CACHE[key] = prog
+
+        groups = [list(range(s, min(s + group, self.num_t)))
+                  for s in range(0, self.num_t, group)]
+
+        def upload(ts):
+            # ragged tail: repeat the last frame so one shape compiles;
+            # padded lanes are never written back
+            idx = ts + [ts[-1]] * (group - len(ts))
+            raw = np.ascontiguousarray(self.filter.im_memmap[idx])
+            return jax.device_put(raw, placement)
+
+        q = _queue.Queue(maxsize=2)
+        writer_exc = []
+
+        def _drain():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                try:
+                    if not writer_exc:
+                        self._write_frame(*item)
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    writer_exc.append(exc)
+                finally:
+                    q.task_done()
+
+        writer = threading.Thread(target=_drain,
+                                  name="nellie-fused-writer", daemon=True)
+        writer.start()
+        uploader = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="nellie-fused-upload")
+        cache = None
+        if self.cache_frames:
+            from nellie_tpu.utils.device_cache import frame_cache
+            cache = frame_cache(self.im_info, create=True)
+
+        t0 = time.perf_counter()
+        next_fut = None
+        try:
+            for gi, ts in enumerate(groups):
+                if self.viewer is not None:
+                    self.viewer.status = (
+                        f"Segmenting (fused, batched). Frames: {ts[0] + 1}-"
+                        f"{ts[-1] + 1} of {self.num_t}.")
+                logger.info("Fused segmentation (batched x%d): frames "
+                            "%d-%d/%d", group, ts[0] + 1, ts[-1] + 1,
+                            self.num_t)
+                raw_dev = next_fut.result() if next_fut else upload(ts)
+                if gi + 1 < len(groups):
+                    next_fut = uploader.submit(upload, groups[gi + 1])
+                pulls_all, frangi_b, distance_b, skel_b = prog(raw_dev)
+                for i, t in enumerate(ts):
+                    if cache is not None:
+                        cache.put("im", t, raw_dev[i])
+                        cache.put("im_preprocessed", t, frangi_b[i])
+                        cache.put("im_distance", t, distance_b[i])
+                        cache.put("im_skel", t, skel_b[i])
+                    pulls = {"dense": {k: v[i]
+                                       for k, v in pulls_all["dense"].items()}}
+                    if "blob" in pulls_all:
+                        pulls["blob"] = pulls_all["blob"][i]
+                    if writer_exc:
+                        break
+                    q.put((t, pulls))
+                if writer_exc:
+                    break
+        finally:
+            q.put(None)
+            writer.join()
+            uploader.shutdown(wait=True)
+        if writer_exc:
+            raise writer_exc[0]
+        return {"seg_batch_single": time.perf_counter() - t0}
+
     def run(self, fence_stages: bool = False):
         """Returns a per-stage device-time dict when ``fence_stages``
         (diagnostic; fencing serialises the pipeline), else {}."""
@@ -480,6 +649,10 @@ class FusedSegmentation:
             return self.stage_times
         placement = self._placement(
             self.filter.im_memmap.shape[1:])
+        group = self._batch_group()
+        if group > 1:
+            self.stage_times = self._run_batch_single(group, placement)
+            return self.stage_times
         stage_totals = {}
         # a single background writer drains (t, pulls) in frame order: the
         # blob pull's device wait and the memmap writes/flushes (~0.5

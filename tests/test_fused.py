@@ -100,6 +100,33 @@ def test_fused_matches_per_stage_otsu_and_edges(tmp_path):
 
 
 @pytest.mark.slow
+def test_fused_batched_groups_match_per_frame(tmp_path):
+    """Single-dispatch frame-group batching (batch_frames=True, one
+    vmapped program per group) must be bit-identical to the per-frame
+    fused loop — including a ragged tail group (3 frames, group cap
+    forced to 2 via _BATCH_GROUP_VOX monkeypatching)."""
+    from nellie_tpu.pipeline import fused as fused_mod
+    from nellie_tpu.pipeline.fused import FusedSegmentation
+
+    (tmp_path / "a").mkdir(exist_ok=True)
+    (tmp_path / "b").mkdir(exist_ok=True)
+    fi_a = _make_input(tmp_path / "a", "cells", n_t=3)
+    fi_b = _make_input(tmp_path / "b", "cells", n_t=3)
+    im_a, im_b = ImInfo(fi_a), ImInfo(fi_b)
+    FusedSegmentation(im_a, batch_frames=False).run()
+    frame_vox = 12 * 48 * 48
+    orig = fused_mod._BATCH_GROUP_VOX
+    fused_mod._BATCH_GROUP_VOX = 2 * frame_vox  # groups of 2 + tail of 1
+    try:
+        seg = FusedSegmentation(im_b, batch_frames=True)
+        times = seg.run()
+    finally:
+        fused_mod._BATCH_GROUP_VOX = orig
+    assert "seg_batch_single" in times
+    _assert_artifacts_equal(im_a, im_b)
+
+
+@pytest.mark.slow
 def test_fused_full_run_produces_all_artifacts(tmp_path):
     """run(fused=True) end-to-end: downstream stages consume the fused
     artifacts and the timing dict carries the fused key."""
