@@ -114,15 +114,33 @@ def run(
     warmer = None
     if warm_start and not low_memory and mesh is None and device != "cpu":
         try:
+            import os as _os
+
             import jax
+            import numpy as _np
 
             # warming pays off when compiles are slow (remote TPU compile
             # server); on the CPU backend they are not worth shadow runs
             if jax.default_backend() != "cpu":
                 from nellie_tpu.pipeline.warmup import PipelineWarmer
 
+                # when the fused path will run frame-group batched, its
+                # ONE chain program subsumes the label/network/markers
+                # kernels — their shadow compiles would only contend with
+                # the chain's own compile on the shared compile server
+                warm_stages = None
+                from nellie_tpu.pipeline.fused import _BATCH_GROUP_VOX
+
+                spatial = [im_info.shape[im_info.axes.index(a)]
+                           for a in im_info.axes if a in "ZYX"]
+                frame_vox = int(_np.prod(spatial))
+                if (fused and not im_info.no_t
+                        and 2 * frame_vox <= _BATCH_GROUP_VOX
+                        and _os.environ.get("NELLIE_FUSED_BATCH") != "0"):
+                    warm_stages = ("tracking", "reassign", "hierarchy")
                 warmer = PipelineWarmer(im_info, device=device,
-                                        skip_nodes=skip_nodes)
+                                        skip_nodes=skip_nodes,
+                                        stages=warm_stages)
                 warmer.start()
         except Exception:  # noqa: BLE001 — warming is best-effort
             warmer = None
