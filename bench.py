@@ -368,12 +368,33 @@ def main():
     dev = jax.devices()[0]
     frame_dev = jax.device_put(jnp.asarray(frame), dev)
 
+    # pre-headline insurance: the remote compile server has unbounded
+    # variance (observed: the same sort-bearing program 60 s vs >30 min
+    # under load) — if the FIRST compile stalls past this budget, emit a
+    # minimal record saying so instead of producing no JSON line at all.
+    # Disarmed (superseded) once the real record exists.
+    compile_budget = float(os.environ.get("NELLIE_BENCH_COMPILE_WATCHDOG_S",
+                                          "3000"))
+    compile_watchdog = None
+    if compile_budget > 0:
+        compile_watchdog = _arm_watchdog({
+            "metric": "frangi+eigen+segment voxels/sec/chip (3D 64x256x256 frame)",
+            "value": 0,
+            "unit": "voxels/sec/chip",
+            "vs_baseline": 0,
+            "error": f"first compile exceeded {compile_budget:.0f}s "
+                     "(remote compile-server stall); no steady-state "
+                     "measurement possible this run",
+        }, compile_budget)
+
     # warmup / compile (forcing device->host materialisation: on the
     # tunnelled axon platform block_until_ready is not a reliable fence)
     t_compile0 = time.perf_counter()
     vessel, labels, n = _segment_step(frame_dev, params, min_area)
     sink = float(jnp.sum(vessel)) + int(n)
     compile_s = time.perf_counter() - t_compile0
+    if compile_watchdog is not None:
+        compile_watchdog.cancel()
     print(f"[bench] compile+first-run: {compile_s:.1f}s on {dev.platform}", file=sys.stderr)
 
     # steady state — dispatch all reps back-to-back and fence once at the
