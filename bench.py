@@ -366,13 +366,13 @@ def main():
     min_area = 4
 
     dev = jax.devices()[0]
-    frame_dev = jax.device_put(jnp.asarray(frame), dev)
 
-    # pre-headline insurance: the remote compile server has unbounded
-    # variance (observed: the same sort-bearing program 60 s vs >30 min
-    # under load) — if the FIRST compile stalls past this budget, emit a
-    # minimal record saying so instead of producing no JSON line at all.
-    # Disarmed (superseded) once the real record exists.
+    # pre-headline insurance: the tunnel uplink and the remote compile
+    # server both have unbounded variance (observed: a 16 MB upload or a
+    # sort-bearing compile taking 60 s one hour and >45 min the next) —
+    # if the first upload+compile stalls past this budget, emit a minimal
+    # record naming the stall instead of producing no JSON line at all.
+    # Disarmed (superseded) once the real measurement exists.
     compile_budget = float(os.environ.get("NELLIE_BENCH_COMPILE_WATCHDOG_S",
                                           "3000"))
     compile_watchdog = None
@@ -382,10 +382,12 @@ def main():
             "value": 0,
             "unit": "voxels/sec/chip",
             "vs_baseline": 0,
-            "error": f"first compile exceeded {compile_budget:.0f}s "
-                     "(remote compile-server stall); no steady-state "
-                     "measurement possible this run",
+            "error": f"first upload+compile exceeded {compile_budget:.0f}s "
+                     "(tunnel uplink / remote compile-server stall); no "
+                     "steady-state measurement possible this run",
         }, compile_budget)
+
+    frame_dev = jax.device_put(jnp.asarray(frame), dev)
 
     # warmup / compile (forcing device->host materialisation: on the
     # tunnelled axon platform block_until_ready is not a reliable fence)
