@@ -584,7 +584,17 @@ class FusedSegmentation:
                     return
                 try:
                     if not writer_exc:
-                        self._write_frame(*item)
+                        ts, pulls_all = item
+                        # the whole group's blobs as ONE device->host pull
+                        blob_all = (np.asarray(pulls_all["blob"])
+                                    if "blob" in pulls_all else None)
+                        for i, t in enumerate(ts):
+                            pulls = {"dense": {
+                                k: v[i] for k, v in pulls_all["dense"].items()}}
+                            if blob_all is not None:
+                                pulls["blob"] = pulls_all["blob"][i]
+                                pulls["_blob_host"] = blob_all[i]
+                            self._write_frame(t, pulls)
                 except Exception as exc:  # noqa: BLE001 — re-raised below
                     writer_exc.append(exc)
                 finally:
@@ -615,21 +625,15 @@ class FusedSegmentation:
                 if gi + 1 < len(groups):
                     next_fut = uploader.submit(upload, groups[gi + 1])
                 pulls_all, frangi_b, distance_b, skel_b = prog(raw_dev)
-                for i, t in enumerate(ts):
-                    if cache is not None:
+                if cache is not None:
+                    for i, t in enumerate(ts):
                         cache.put("im", t, raw_dev[i])
                         cache.put("im_preprocessed", t, frangi_b[i])
                         cache.put("im_distance", t, distance_b[i])
                         cache.put("im_skel", t, skel_b[i])
-                    pulls = {"dense": {k: v[i]
-                                       for k, v in pulls_all["dense"].items()}}
-                    if "blob" in pulls_all:
-                        pulls["blob"] = pulls_all["blob"][i]
-                    if writer_exc:
-                        break
-                    q.put((t, pulls))
                 if writer_exc:
                     break
+                q.put((ts, pulls_all))
         finally:
             q.put(None)
             writer.join()
