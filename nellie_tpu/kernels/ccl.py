@@ -350,14 +350,6 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
     return ~reached
 
 
-@jax.jit
-def component_sizes(labels_or_roots_flat: jnp.ndarray, fg_flat: jnp.ndarray) -> jnp.ndarray:
-    """Voxel count per root index (scatter-add), length n+1."""
-    n = labels_or_roots_flat.shape[0]
-    tgt = jnp.where(fg_flat, labels_or_roots_flat, n)
-    return jnp.zeros((n + 1,), jnp.int32).at[tgt].add(1)
-
-
 # Above this many bounded hops the full scan+stencil fixpoint is cheaper.
 _SMALL_HOPS_MAX = 96
 

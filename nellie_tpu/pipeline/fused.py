@@ -432,12 +432,11 @@ class FusedSegmentation:
         """All frames as ONE sharded program over the mesh: the stencil-
         heavy Filter+Label phase runs (t, z)-sharded (GSPMD halo
         exchange + all-reduced thresholds), the iterative fixpoint
-        stages (thinning, JFA, NMS) reshard to frame-parallel P('t') —
-        the production counterpart of ``mesh/pipeline_step.py``'s dense
-        formulation, executing the SAME per-frame programs as the
-        sequential fused loop, so artifacts are identical to
-        single-device ``run()`` (validated by the driver's
-        ``dryrun_multichip`` and ``tests/test_mesh.py``)."""
+        stages (thinning, JFA, NMS) reshard to frame-parallel P('t'),
+        executing the SAME per-frame programs as the sequential fused
+        loop, so artifacts are identical to single-device ``run()``
+        (validated by the driver's ``dryrun_multichip`` and
+        ``tests/test_mesh.py``)."""
         import jax.sharding as jsh
         from jax import lax
         from nellie_tpu.mesh.sharded import batch_sharding
