@@ -374,7 +374,7 @@ def main():
     # record naming the stall instead of producing no JSON line at all.
     # Disarmed (superseded) once the real measurement exists.
     compile_budget = float(os.environ.get("NELLIE_BENCH_COMPILE_WATCHDOG_S",
-                                          "3000"))
+                                          "3600"))
     compile_watchdog = None
     if compile_budget > 0:
         compile_watchdog = _arm_watchdog({

@@ -86,28 +86,74 @@ def _accumulate_window(vessel_buf, raw_buf, ext_start, core_offset,
         tuple(vol_offset[i] for i in range(len(core_shape))))
 
 
+@partial(jax.jit, static_argnames=("params", "core_shape"), donate_argnums=(0,))
+def _accumulate_window_host(vessel_buf, window, core_offset, vol_offset,
+                            params, core_shape):
+    """Per-window-upload fallback of :func:`_accumulate_window` — the
+    window arrives from the host (re-sending halo overlap) instead of
+    being sliced from a device-resident raw volume.  Used only when the
+    resident raw buffer does not fit HBM alongside the working set."""
+    v, _ = frangi_k.vesselness_frame(window, params)
+    core = lax.dynamic_slice(
+        v, tuple(core_offset[i] for i in range(len(core_shape))), core_shape)
+    return lax.dynamic_update_slice(
+        vessel_buf, core.astype(vessel_buf.dtype),
+        tuple(vol_offset[i] for i in range(len(core_shape))))
+
+
 def _accumulate_vesselness(volume, params, shape, max_chunk_voxels,
                            vessel_dtype, dev):
     """Upload the raw volume ONCE (core bytes only — no halo overlap),
     then run the windowed Frangi cascade entirely in HBM.  Returns
-    (vessel_buf, bytes_up, n_windows)."""
+    (vessel_buf, bytes_up, n_windows).
+
+    Keeping the raw volume resident raises peak HBM by ``volume.nbytes``
+    for the duration of this phase; when that does not fit (huge f32
+    volumes near the 2^31-voxel limit) the OOM is caught and the loop
+    falls back to per-window host uploads — the round-4 behavior, which
+    re-sends halo overlap but holds only one window at a time."""
+    from nellie_tpu.utils import adaptive_run
+
     sigma_vec = params.sigma_vec(max(params.sigmas))
     halo = tuple(int(np.ceil(params.truncate * float(s))) for s in sigma_vec)
     chunk_shape = compute_chunk_shape(shape, max_chunk_voxels)
     core_shape, ext_shape = uniform_window_shapes(shape, chunk_shape, halo)
-    raw_buf = jax.device_put(volume, dev)
-    bytes_up = volume.nbytes
     vessel_buf = jax.device_put(jnp.zeros(shape, vessel_dtype), dev)
     n_windows = 0
+    try:
+        raw_buf = jax.device_put(volume, dev)
+        bytes_up = volume.nbytes
+        for owned, ext, offset, local in iter_uniform_windows(
+                shape, chunk_shape, halo):
+            n_windows += 1
+            core_start = tuple(e.start + o for e, o in zip(ext, offset))
+            vessel_buf = _accumulate_window(
+                vessel_buf, raw_buf,
+                jnp.asarray([e.start for e in ext], jnp.int32),
+                jnp.asarray(offset, jnp.int32),
+                jnp.asarray(core_start, jnp.int32), params, ext_shape,
+                core_shape)
+        del raw_buf
+        return vessel_buf, bytes_up, n_windows
+    except Exception as exc:  # noqa: BLE001 — OOM only; re-raised otherwise
+        if not adaptive_run.is_oom_error(exc):
+            raise
+        logger.warning(
+            "capacity: device-resident raw volume (%.2f GB) does not fit "
+            "HBM alongside the working set; falling back to per-window "
+            "uploads (halo overlap re-sent)", volume.nbytes / 1e9)
+    vessel_buf = jax.device_put(jnp.zeros(shape, vessel_dtype), dev)
+    bytes_up = 0
+    n_windows = 0
     for owned, ext, offset, local in iter_uniform_windows(shape, chunk_shape, halo):
+        window = np.ascontiguousarray(volume[ext])
+        bytes_up += window.nbytes
         n_windows += 1
         core_start = tuple(e.start + o for e, o in zip(ext, offset))
-        vessel_buf = _accumulate_window(
-            vessel_buf, raw_buf,
-            jnp.asarray([e.start for e in ext], jnp.int32),
+        vessel_buf = _accumulate_window_host(
+            vessel_buf, jax.device_put(window, dev),
             jnp.asarray(offset, jnp.int32),
-            jnp.asarray(core_start, jnp.int32), params, ext_shape, core_shape)
-    del raw_buf
+            jnp.asarray(core_start, jnp.int32), params, core_shape)
     return vessel_buf, bytes_up, n_windows
 
 
@@ -770,6 +816,20 @@ def _segment_chunked(volume, params, min_area, emit, max_chunk_voxels,
             "bytes_up": bytes_up, "bytes_down": bytes_down}
 
 
+def _assemble_sparse_labels(packed_dev, vals_dev, shape):
+    """Host assembly of the monolith's sparse emit (bit-packed support +
+    compacted uint16 values).  Shared by the monolith and mesh tails so
+    the decode exists once.  Returns (labels, bytes_down)."""
+    packed = np.asarray(packed_dev)
+    vals = np.asarray(vals_dev)
+    bytes_down = packed.nbytes + vals.nbytes
+    bits = np.unpackbits(packed, bitorder="little")
+    idx = np.flatnonzero(bits)
+    labels = np.zeros(int(np.prod(shape)), np.uint16)
+    labels[idx] = vals[: len(idx)]
+    return labels.reshape(shape), bytes_down
+
+
 def _segment_mesh(volume, params, min_area, emit, mesh, vessel_dtype,
                   threshold_sampling_pixels, histogram_nbins,
                   max_chunk_voxels):
@@ -797,10 +857,23 @@ def _segment_mesh(volume, params, min_area, emit, mesh, vessel_dtype,
     ``/root/reference/nellie/segmentation/filtering.py:855-908`` and
     ``labelling.py:243-314``, re-expressed as XLA collectives instead
     of sequential host-merged chunks."""
+    from jax.sharding import PartitionSpec
     from nellie_tpu.mesh.sharded import frame_sharding
 
     shape = volume.shape
     sh = frame_sharding(mesh, shape)
+    if sh.spec == PartitionSpec():
+        # no spatial axis divides the mesh's z extent: the "sharding"
+        # would be full replication — the single-chip HBM ceiling with
+        # extra steps.  The chunked host-merged strategy handles any
+        # shape; route there instead of OOMing replicated.
+        logger.warning(
+            "capacity segment (mesh): no axis of %s divides the mesh z "
+            "extent %d — falling back to the single-device chunked "
+            "strategy", shape, mesh.shape.get("z", 1))
+        return _segment_chunked(
+            volume, params, min_area, emit, max_chunk_voxels,
+            vessel_dtype, threshold_sampling_pixels, histogram_nbins)
     raw_dev = jax.device_put(volume, sh)
     bytes_up = volume.nbytes
 
@@ -841,17 +914,12 @@ def _segment_mesh(volume, params, min_area, emit, mesh, vessel_dtype,
             return _segment_mesh(
                 volume, params, min_area, "labels", mesh, vessel_dtype,
                 threshold_sampling_pixels, histogram_nbins, max_chunk_voxels)
-        packed = np.asarray(packed_dev)
-        vals = np.asarray(vals_dev)
-        bytes_down = packed.nbytes + vals.nbytes
-        bits = np.unpackbits(packed, bitorder="little")
-        idx = np.flatnonzero(bits)
-        labels = np.zeros(int(np.prod(shape)), np.uint16)
-        labels[idx] = vals[: len(idx)]
+        labels, bytes_down = _assemble_sparse_labels(packed_dev, vals_dev,
+                                                     shape)
         logger.info("capacity segment (mesh, %d devices): %.2f GB up, "
                     "%.2f GB down (sparse)", n_dev, bytes_up / 1e9,
                     bytes_down / 1e9)
-        return {"labels": labels.reshape(shape), "n_labels": int(count),
+        return {"labels": labels, "n_labels": int(count),
                 "fg_count": fg_count, "label_overflow": False,
                 "emit": "sparse_labels", "strategy": "mesh",
                 "n_devices": n_dev,
@@ -997,16 +1065,11 @@ def segment_volume(
                 max_chunk_voxels=max_chunk_voxels, vessel_dtype=vessel_dtype,
                 threshold_sampling_pixels=threshold_sampling_pixels,
                 histogram_nbins=histogram_nbins, strategy="monolith")
-        packed = np.asarray(packed_dev)
-        vals = np.asarray(vals_dev)
-        bytes_down = packed.nbytes + vals.nbytes
-        bits = np.unpackbits(packed, bitorder="little")
-        idx = np.flatnonzero(bits)
-        labels = np.zeros(int(np.prod(shape)), np.uint16)
-        labels[idx] = vals[: len(idx)]
+        labels, bytes_down = _assemble_sparse_labels(packed_dev, vals_dev,
+                                                     shape)
         logger.info("capacity segment: %d windows, %.2f GB up, %.2f GB down "
                     "(sparse)", n_windows, bytes_up / 1e9, bytes_down / 1e9)
-        return {"labels": labels.reshape(shape), "n_labels": int(count),
+        return {"labels": labels, "n_labels": int(count),
                 "fg_count": fg_count, "label_overflow": label_overflow,
                 "emit": "sparse_labels", "strategy": "monolith",
                 "bytes_up": bytes_up, "bytes_down": bytes_down}

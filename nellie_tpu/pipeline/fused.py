@@ -509,6 +509,31 @@ class FusedSegmentation:
         frame_vox = int(np.prod(self.filter.im_memmap.shape[1:]))
         return max(1, min(self.num_t, _BATCH_GROUP_VOX // max(frame_vox, 1)))
 
+    def _chain_shadow(self):
+        """A parameters-only stand-in for ``self`` for the cached chain
+        closure: the ``_frame_*`` methods read exactly the attributes
+        mirrored here (every one also fingerprinted by
+        :meth:`_batch_prog_key`), so the process-level program cache
+        never pins stage objects, artifact memmaps or the viewer."""
+        from types import SimpleNamespace
+
+        tsp = self.label.threshold_sampling_pixels
+        return SimpleNamespace(
+            im_info=SimpleNamespace(no_z=self.im_info.no_z),
+            filter=SimpleNamespace(
+                _params=self.filter._params,
+                remove_edges=self.filter.remove_edges,
+                max_threshold_samples=self.filter.max_threshold_samples),
+            label=SimpleNamespace(
+                otsu_thresh_intensity=self.label.otsu_thresh_intensity,
+                threshold=self.label.threshold,
+                histogram_nbins=self.label.histogram_nbins,
+                min_area_pixels=self.label.min_area_pixels,
+                _sample_step=lambda size: max(int(size) // max(1, tsp), 1)),
+            network=SimpleNamespace(scaling=self.network.scaling),
+            markers=SimpleNamespace(use_im=self.markers.use_im,
+                                    _params=self.markers._params))
+
     def _batch_prog_key(self, group: int):
         """Hashable fingerprint of everything the stage-1..4 chain reads
         from the stage objects — the process-level program cache reuses a
@@ -543,13 +568,22 @@ class FusedSegmentation:
         key = self._batch_prog_key(group)
         prog = _BATCH_PROG_CACHE.get(key)
         if prog is None:
+            # the cached closure captures a parameters-only stand-in, not
+            # self: a cache entry pins ~1 KB of params instead of four
+            # stage objects with open artifact memmaps (+ a viewer) for
+            # the process lifetime
+            shadow = self._chain_shadow()
+            fs = FusedSegmentation
 
             def chain(b):
-                frangi = jax.vmap(self._frame_filter)(b)
-                labels = jax.vmap(self._frame_label)(b, frangi)
-                skel, pixel_class, branch = jax.vmap(self._frame_network)(
+                frangi = jax.vmap(lambda f: fs._frame_filter(shadow, f))(b)
+                labels = jax.vmap(
+                    lambda f, v: fs._frame_label(shadow, f, v))(b, frangi)
+                skel, pixel_class, branch = jax.vmap(
+                    lambda l, v: fs._frame_network(shadow, l, v))(
                     labels, frangi)
-                marker, distance, border = jax.vmap(self._frame_markers)(
+                marker, distance, border = jax.vmap(
+                    lambda f, l, v: fs._frame_markers(shadow, f, l, v))(
                     b, labels, frangi)
                 pulls = jax.vmap(_sparse_pull_bundle)(
                     {"frangi": frangi, "labels": labels, "skel": skel,

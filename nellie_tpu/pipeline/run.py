@@ -134,7 +134,9 @@ def run(
                 spatial = [im_info.shape[im_info.axes.index(a)]
                            for a in im_info.axes if a in "ZYX"]
                 frame_vox = int(_np.prod(spatial))
-                if (fused and not im_info.no_t
+                num_t = (im_info.shape[im_info.axes.index("T")]
+                         if not im_info.no_t and "T" in im_info.axes else 1)
+                if (fused and num_t > 1
                         and 2 * frame_vox <= _BATCH_GROUP_VOX
                         and _os.environ.get("NELLIE_FUSED_BATCH") != "0"):
                     warm_stages = ("tracking", "reassign", "hierarchy")
