@@ -348,6 +348,29 @@ def _batch_files_timing(n_files=3, shape=(2, 32, 128, 128)):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _probe_accelerator(timeout_s=240.0):
+    """Enumerate devices in a SUBPROCESS with a hard timeout.
+
+    ``jax.devices()`` on the tunnelled axon platform hangs indefinitely
+    when the tunnel is down (observed: >300 s, and the tunnel has stayed
+    dead for 8+ hour stretches) — and it runs before any in-process
+    watchdog can be armed, so a dead tunnel would otherwise mean NO bench
+    JSON at all.  Returns the platform string of device 0, or None if
+    enumeration did not answer inside the budget."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except Exception:  # noqa: BLE001 — timeout or crashed probe == dead
+        pass
+    return None
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -364,6 +387,19 @@ def main():
         spacing=(0.5, 0.2, 0.2), z_ratio=2.5,
     )
     min_area = 4
+
+    probe_budget = float(os.environ.get("NELLIE_BENCH_PROBE_S", "240"))
+    platform = _probe_accelerator(probe_budget) if probe_budget > 0 else "unprobed"
+    tunnel_down = platform is None
+    if tunnel_down:
+        # Honest fallback: measure the same programs on the host CPU via
+        # JAX rather than emitting nothing (or hanging forever).  The
+        # record is labelled so a CPU-fallback number is never mistaken
+        # for a TPU capture; BENCH_r04.json holds the last TPU capture.
+        print(f"[bench] accelerator tunnel did not answer within "
+              f"{probe_budget:.0f}s — falling back to host-CPU JAX "
+              "(see 'note' in the emitted record)", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
 
     dev = jax.devices()[0]
 
@@ -466,8 +502,14 @@ def main():
         "value": round(vox_per_sec),
         "unit": "voxels/sec/chip",
         "vs_baseline": round(vox_per_sec / base_vox_per_sec, 2),
+        "platform": dev.platform,
     }
-    if roofline is not None:
+    if tunnel_down:
+        record["note"] = (
+            "TPU tunnel unreachable at bench time (device enumeration timed "
+            "out); all numbers measured on host-CPU JAX as a fallback. The "
+            "last TPU capture is BENCH_r04.json (e2e_vs_cpu 31.3).")
+    if roofline is not None and not tunnel_down:
         record["roofline"] = roofline
 
     # everything below is additive context; don't let a link drop mid-run
@@ -527,10 +569,14 @@ def main():
             rec_floor, rec_stage = _recorded_cpu_floor()
             floor = min(x for x in (cpu_spf, rec_floor) if x)
             record["e2e_cpu_floor_s_per_frame"] = round(floor, 2)
-            record["e2e_vs_cpu"] = round(floor / record["e2e_s_per_frame"], 1)
+            # In CPU-fallback mode the ratio is JAX-on-CPU vs numpy-on-CPU —
+            # real, but NOT the TPU north-star number; keep the key distinct
+            # so a fallback run can never masquerade as a TPU capture.
+            vs_key = "e2e_vs_cpu_cpu_fallback" if tunnel_down else "e2e_vs_cpu"
+            record[vs_key] = round(floor / record["e2e_s_per_frame"], 1)
             print(f"[bench] CPU reference e2e: measured {cpu_spf:.1f}s/frame "
                   f"({threads} threads, best of {n_runs}), floor {floor:.1f} "
-                  f"-> e2e_vs_cpu = {record['e2e_vs_cpu']}x", file=sys.stderr)
+                  f"-> {vs_key} = {record[vs_key]}x", file=sys.stderr)
 
             # per-stage speedups vs the reference's own CUDA-port table
             # (BASELINE.md): tracking >= 6x, reassign >= 2x etc. are
@@ -548,7 +594,8 @@ def main():
             for k in ("tracking", "reassign", "hierarchy"):
                 if k in tpu_stage and stage_floor.get(k):
                     vs_stage[k] = round(stage_floor[k] / tpu_stage[k], 1)
-            record["vs_cpu_per_stage"] = vs_stage
+            record["vs_cpu_per_stage_cpu_fallback" if tunnel_down
+                   else "vs_cpu_per_stage"] = vs_stage
             print(f"[bench] per-stage vs CPU: {vs_stage}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — additive, never fatal
             print(f"[bench] CPU reference floor skipped: {exc!r}", file=sys.stderr)
