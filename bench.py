@@ -212,6 +212,41 @@ def _recorded_cpu_floor():
         return None, None
 
 
+def _ratio_from_persisted_floor(record, tunnel_down):
+    """If the fresh CPU floor never ran (env-skipped, watchdog-tight
+    budget) or died mid-run, the persisted driver-captured floor
+    (BASELINE.json "published", a prior round's own measurement on this
+    host class) still gives the north-star ratio rather than omitting it
+    — labelled with its provenance so a persisted-floor ratio is
+    distinguishable from one backed by a same-run measurement."""
+    if ("e2e_s_per_frame" not in record or "e2e_vs_cpu" in record
+            or "e2e_vs_cpu_cpu_fallback" in record):
+        return
+    rec_floor, rec_stage = _recorded_cpu_floor()
+    if not rec_floor:
+        return
+    record["e2e_cpu_floor_s_per_frame"] = round(rec_floor, 2)
+    record["e2e_cpu_floor_source"] = "persisted (BASELINE.json)"
+    vs_key = "e2e_vs_cpu_cpu_fallback" if tunnel_down else "e2e_vs_cpu"
+    record[vs_key] = round(rec_floor / record["e2e_s_per_frame"], 1)
+    tpu_stage = record.get("e2e_stage_s_per_frame", {})
+    vs_stage = {}
+    if rec_stage:
+        seg_cpu = sum(rec_stage.get(k, 0.0) for k in
+                      ("filter", "label", "network", "markers"))
+        if "seg_fused" in tpu_stage and seg_cpu:
+            vs_stage["segmentation"] = round(seg_cpu / tpu_stage["seg_fused"], 1)
+        for k in ("tracking", "reassign", "hierarchy"):
+            if k in tpu_stage and rec_stage.get(k):
+                vs_stage[k] = round(rec_stage[k] / tpu_stage[k], 1)
+    if vs_stage:
+        record["vs_cpu_per_stage_cpu_fallback" if tunnel_down
+               else "vs_cpu_per_stage"] = vs_stage
+    print(f"[bench] CPU floor from persisted BASELINE.json: "
+          f"{rec_floor:.1f}s/frame -> {vs_key} = {record[vs_key]}x",
+          file=sys.stderr)
+
+
 def _e2e_warm_timings(shape=(3, 64, 256, 256)):
     """Full seven-stage pipeline, steady-state: run once cold (compiles),
     once warm on identical shapes; returns (warm per-stage dict, warm
@@ -599,6 +634,8 @@ def main():
             print(f"[bench] per-stage vs CPU: {vs_stage}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — additive, never fatal
             print(f"[bench] CPU reference floor skipped: {exc!r}", file=sys.stderr)
+
+    _ratio_from_persisted_floor(record, tunnel_down)
 
     # BASELINE config #2: 2D + timeseries pipeline (NELLIE_BENCH_2D=0 skips)
     if os.environ.get("NELLIE_BENCH_2D", "1") != "0":
