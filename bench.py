@@ -413,6 +413,15 @@ def main():
 
     from nellie_tpu.kernels import frangi as frangi_k
     from nellie_tpu.mesh.sharded import _segment_step
+    from nellie_tpu.utils.jax_cache import enable_persistent_cache
+
+    # the remote compile server's latency has unbounded variance (a
+    # sort-bearing program: 60 s one hour, >25 min the next); with a warm
+    # repo-local cache the driver's run never pays it twice
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        print(f"[bench] persistent compile cache: {cache_dir}",
+              file=sys.stderr)
 
     shape = (64, 256, 256)
     n_vox = int(np.prod(shape))

@@ -72,6 +72,12 @@ def run(
     Returns the :class:`ImInfo` (and per-stage timings dict if
     ``return_timings``).
     """
+    # warm persistent XLA compile cache: repeat runs (same shapes/params)
+    # skip the remote compile server entirely — NELLIE_JAX_CACHE=0 opts out
+    from nellie_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     im_info = ImInfo(file_info)
     timings = {}
 
