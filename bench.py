@@ -415,14 +415,6 @@ def main():
     from nellie_tpu.mesh.sharded import _segment_step
     from nellie_tpu.utils.jax_cache import enable_persistent_cache
 
-    # the remote compile server's latency has unbounded variance (a
-    # sort-bearing program: 60 s one hour, >25 min the next); with a warm
-    # repo-local cache the driver's run never pays it twice
-    cache_dir = enable_persistent_cache()
-    if cache_dir:
-        print(f"[bench] persistent compile cache: {cache_dir}",
-              file=sys.stderr)
-
     shape = (64, 256, 256)
     n_vox = int(np.prod(shape))
     frame = _make_frame(shape)
@@ -446,6 +438,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     dev = jax.devices()[0]
+
+    # the remote compile server's latency has unbounded variance (a
+    # sort-bearing program: 60 s one hour, >25 min the next); with a warm
+    # repo-local cache the driver's run never pays it twice.  Enabled
+    # AFTER platform resolution: the helper initialises the backend (it
+    # must know cpu-vs-accelerator), which would hang on a dead tunnel
+    # if called before the enumeration probe above.
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        print(f"[bench] persistent compile cache: {cache_dir}",
+              file=sys.stderr)
 
     # pre-headline insurance: the tunnel uplink and the remote compile
     # server both have unbounded variance (observed: a 16 MB upload or a

@@ -35,12 +35,27 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     than once; every compile below the size/time floors is cached —
     on the tunnelled backend even trivial programs pay the remote
     compile round-trip, so there is no floor worth keeping.
+
+    CPU backend: DISABLED unless a directory is passed explicitly (arg
+    or env var).  JAX's cache key deliberately zeroes
+    ``--xla_force_host_platform_device_count`` and hashes only
+    *accelerator* topology (``jax/_src/cache_key.py``), so CPU
+    executables collide across host-device-count topologies — observed
+    here as a hard SIGSEGV when an 8-virtual-device test process
+    deserialized an entry written by a 1-device process.  CPU compiles
+    are local and fast anyway; the cache exists for the remote TPU
+    compile server.  If you do opt in on CPU, give each topology its
+    own directory.  (Calling this initialises the JAX backend.)
     """
     env = os.environ.get("NELLIE_JAX_CACHE")
     if env == "0":
         return None
-    cache_dir = cache_dir or env or _DEFAULT_DIR
+    explicit = cache_dir or env
     import jax
+
+    if not explicit and jax.default_backend() == "cpu":
+        return None
+    cache_dir = explicit or _DEFAULT_DIR
 
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

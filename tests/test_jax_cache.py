@@ -37,6 +37,18 @@ def test_env_opt_out(monkeypatch):
     assert _current_dir() == prev
 
 
+def test_cpu_backend_disabled_without_explicit_dir(monkeypatch):
+    # JAX's cache key zeroes xla_force_host_platform_device_count, so CPU
+    # entries collide across host topologies (observed SIGSEGV when an
+    # 8-device test process deserialized a 1-device process's entry) —
+    # on the CPU backend the helper must refuse the implicit default dir.
+    monkeypatch.delenv("NELLIE_JAX_CACHE", raising=False)
+    prev = _current_dir()
+    assert jax.default_backend() == "cpu"  # conftest forces cpu
+    assert enable_persistent_cache() is None
+    assert _current_dir() == prev
+
+
 def test_env_dir_wins(tmp_path, monkeypatch):
     monkeypatch.setenv("NELLIE_JAX_CACHE", str(tmp_path / "env_jc"))
     prev = _current_dir()
