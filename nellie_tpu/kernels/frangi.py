@@ -47,6 +47,16 @@ class FrangiParams:
     frob_thresh_division: float = 2.0
     max_threshold_samples: int = int(1e6)
     truncate: float = 3.0
+    # HBM-traffic knob: storage dtype for the scale-cascade carries (the
+    # smoothed volume between scales / between conv passes, and the
+    # vesselness accumulator).  "float16" halves the cascade's HBM bytes;
+    # all arithmetic (conv accumulation, Hessian, eigensolve, response)
+    # stays float32 — only *storage* narrows.  The Frangi response is
+    # invariant to uniform input scaling (every threshold is derived from
+    # the data itself), so the frame is pre-normalised to ≤1 before
+    # narrowing and f16's range is never an issue.  Default float32 keeps
+    # the oracle-exact path; opt in via PipelineConfig.filter_carry_dtype.
+    carry_dtype: str = "float32"
 
     def sigma_vec(self, sigma: float) -> Tuple[float, ...]:
         """(Z,Y,X) or (Y,X) anisotropic σ vector (``filtering.py:277-286``)."""
@@ -146,21 +156,38 @@ def vesselness_frame(frame: jnp.ndarray, params: FrangiParams, apply_mask: bool 
 
     The scale loop is a lax.scan with traced (zero-padded) Gaussian taps:
     one compiled body regardless of the number of scales.
+
+    ``params.carry_dtype="float16"`` narrows the *storage* of the carries
+    (smoothed volume, vesselness accumulator) and the between-pass conv
+    intermediates; every multiply-accumulate, the Hessian stencil, the
+    eigensolve and the response math still run float32 (the upcast fuses
+    into each kernel's reads, the downcast into its writes — XLA moves
+    half the bytes, computes at full precision).  Scale invariance of the
+    response makes the pre-normalisation below exact in real arithmetic.
     """
     frame = frame.astype(jnp.float32)
+    cd = jnp.dtype(params.carry_dtype)
+    narrow = cd != jnp.dtype(jnp.float32)
+    if narrow:
+        # keep the carried magnitudes inside f16 range; the response is
+        # invariant to this uniform rescale (see docstring)
+        frame = frame / jnp.maximum(jnp.max(jnp.abs(frame)), EPS32)
     ndim = frame.ndim
     kernel_stacks = _delta_kernels(params, ndim)
     scan_weights = tuple(jnp.asarray(k) for k in kernel_stacks)
 
     def scale_body(carry, ws):
-        gauss, vessel, all_mask = carry
+        gauss_c, vessel, all_mask = carry
+        gauss = gauss_c
         for axis in range(ndim):
-            gauss = filters.correlate1d_traced(gauss, ws[axis], axis)
+            gauss = filters.correlate1d_traced(
+                gauss.astype(jnp.float32), ws[axis], axis).astype(cd)
+        gauss32 = gauss.astype(jnp.float32)
 
-        gamma = _gamma(gauss, params.max_threshold_samples)
+        gamma = _gamma(gauss32, params.max_threshold_samples)
         gamma_sq = 2.0 * gamma * gamma
 
-        h, frob = hessian_components(gauss, params.spacing)
+        h, frob = hessian_components(gauss32, params.spacing)
         h_mask = _frob_mask(frob, params) if apply_mask else jnp.ones(frame.shape, bool)
 
         if ndim == 2:
@@ -170,13 +197,14 @@ def vesselness_frame(frame: jnp.ndarray, params: FrangiParams, apply_mask: bool 
 
         v = _frangi_response(eigs, gamma_sq, params)
         v = jnp.where(h_mask, v, 0.0)
-        vessel = jnp.maximum(vessel, v)
+        vessel = jnp.maximum(vessel, v.astype(cd))
         all_mask = all_mask & h_mask
         return (gauss, vessel, all_mask), None
 
-    init = (frame, jnp.zeros_like(frame), jnp.ones(frame.shape, dtype=bool))
+    init = (frame.astype(cd), jnp.zeros(frame.shape, cd),
+            jnp.ones(frame.shape, dtype=bool))
     (gauss, vessel, all_mask), _ = jax.lax.scan(scale_body, init, scan_weights)
-    return vessel * all_mask, all_mask
+    return vessel.astype(jnp.float32) * all_mask, all_mask
 
 
 @partial(jax.jit, static_argnames=("params",))

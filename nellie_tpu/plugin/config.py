@@ -40,6 +40,10 @@ class SettingsConfig:
     preprocessing_low_memory: bool = False
     preprocessing_max_chunk_voxels: int = int(1e6)
     preprocessing_max_threshold_samples: int = int(1e6)
+    # "float16" halves the Frangi cascade's HBM traffic (storage only;
+    # math stays float32 — thresholded mask parity ~exact, response
+    # values ~1e-3 relative). Default float32 keeps oracle exactness.
+    preprocessing_carry_dtype: str = "float32"
 
     # segmentation (Label)
     segmentation_label_num_t: Optional[int] = None
@@ -146,6 +150,7 @@ def preprocessing_params(cfg: SettingsConfig) -> dict:
         "low_memory": cfg.preprocessing_low_memory,
         "max_chunk_voxels": cfg.preprocessing_max_chunk_voxels,
         "max_threshold_samples": cfg.preprocessing_max_threshold_samples,
+        "carry_dtype": cfg.preprocessing_carry_dtype,
     })
 
 

@@ -118,6 +118,7 @@ class Filter:
         max_threshold_samples: int = int(1e6),
         mesh=None,
         chunk_transfer_dtype=None,
+        carry_dtype: str = "float32",
     ):
         self.im_info = im_info
         self.device = device
@@ -161,6 +162,10 @@ class Filter:
         # (e.g. "float16" halves the pull bytes on bandwidth-limited
         # links at ~1e-3 relative cost; the disk artifact stays float32)
         self.chunk_transfer_dtype = chunk_transfer_dtype
+        # storage dtype for the cascade's scan carries / conv
+        # intermediates ("float16" halves the kernel's HBM traffic;
+        # math stays float32 — see FrangiParams.carry_dtype)
+        self.carry_dtype = str(carry_dtype)
         self.halo = None
 
     # -- setup ---------------------------------------------------------------
@@ -217,6 +222,7 @@ class Filter:
             frob_thresh_division=float(self.frob_thresh_division or 0.0),
             max_threshold_samples=self.max_threshold_samples,
             truncate=self.truncate,
+            carry_dtype=self.carry_dtype,
         )
         self.halo = self._compute_halo()
         logger.debug("Sigmas = %s", self.sigmas)
